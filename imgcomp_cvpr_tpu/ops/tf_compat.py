@@ -16,13 +16,19 @@ explicitly so the transpose direction is exact for any (k, s, H).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DN_2D = ('NHWC', 'HWIO', 'NHWC')
+
+# Default conv precision. On TPU, XLA's DEFAULT runs f32 convs with bf16
+# inputs on the MXU (fast); HIGHEST uses 3-pass f32 emulation. Model convs
+# default to fast; numerics-sensitive paths (metrics, entropy-coding logits)
+# pass precision explicitly.
+DEFAULT_PRECISION: Optional[lax.Precision] = None
 
 
 def same_pad_amounts(size: int, k: int, s: int) -> Tuple[int, int]:
@@ -34,7 +40,7 @@ def same_pad_amounts(size: int, k: int, s: int) -> Tuple[int, int]:
 
 
 def conv2d_same(x: jax.Array, w: jax.Array, stride: int = 1,
-                dilation: int = 1) -> jax.Array:
+                dilation: int = 1, precision=None) -> jax.Array:
     """2D conv, NHWC x HWIO -> NHWC, TF-'SAME' padding."""
     kh, kw = w.shape[0], w.shape[1]
     eff_kh = (kh - 1) * dilation + 1
@@ -43,10 +49,12 @@ def conv2d_same(x: jax.Array, w: jax.Array, stride: int = 1,
     pw = same_pad_amounts(x.shape[2], eff_kw, stride)
     return lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=(ph, pw),
-        rhs_dilation=(dilation, dilation), dimension_numbers=_DN_2D)
+        rhs_dilation=(dilation, dilation), dimension_numbers=_DN_2D,
+        precision=precision or DEFAULT_PRECISION)
 
 
-def conv2d_transpose_same(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+def conv2d_transpose_same(x: jax.Array, w: jax.Array, stride: int,
+                          precision=None) -> jax.Array:
     """2D transpose conv matching tf.nn.conv2d_transpose(..., padding='SAME')
     with output spatial dims = input * stride.
 
@@ -69,22 +77,27 @@ def conv2d_transpose_same(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
     w_t = jnp.flip(w, axis=(0, 1))
     y = lax.conv_general_dilated(
         x, w_t, window_strides=(1, 1), padding=(pad_h, pad_w),
-        lhs_dilation=(stride, stride), dimension_numbers=_DN_2D)
+        lhs_dilation=(stride, stride), dimension_numbers=_DN_2D,
+        precision=precision or DEFAULT_PRECISION)
     assert y.shape[1] == h_out and y.shape[2] == w_out, (y.shape, h_out, w_out)
     return y
 
 
-def conv2d_valid(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv2d_valid(x: jax.Array, w: jax.Array, precision=None) -> jax.Array:
     return lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding='VALID', dimension_numbers=_DN_2D)
+        x, w, window_strides=(1, 1), padding='VALID', dimension_numbers=_DN_2D,
+        precision=precision or DEFAULT_PRECISION)
 
 
-def depthwise_conv2d_valid(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Depthwise VALID conv; w: (kh, kw, C, 1)."""
+def depthwise_conv2d_valid(x: jax.Array, w: jax.Array,
+                           precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Depthwise VALID conv; w: (kh, kw, C, 1). Defaults to HIGHEST precision
+    since its only users are metric blurs."""
     c = x.shape[-1]
     return lax.conv_general_dilated(
         x, w.reshape(w.shape[0], w.shape[1], 1, c), window_strides=(1, 1),
-        padding='VALID', dimension_numbers=_DN_2D, feature_group_count=c)
+        padding='VALID', dimension_numbers=_DN_2D, feature_group_count=c,
+        precision=precision)
 
 
 def reflect_pad_hw(x: jax.Array, pad: Sequence[Tuple[int, int]]) -> jax.Array:

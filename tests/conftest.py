@@ -8,7 +8,8 @@ code without a pod).
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the environment presets JAX_PLATFORMS=axon (real TPU tunnel).
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
