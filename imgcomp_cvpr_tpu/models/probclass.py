@@ -147,8 +147,13 @@ def pad_volume(volume_dhw: jax.Array, cs: int, pad_value) -> jax.Array:
     future), H/W get cs//2 on both sides (ref: probclass.py:268-292)."""
     pad = cs // 2
     assert pad >= 1
-    return jnp.pad(volume_dhw, ((0, 0), (pad, 0), (pad, pad), (pad, pad)),
-                   constant_values=pad_value)
+    widths = ((0, 0), (pad, 0), (pad, pad), (pad, pad))
+    # Zero-pad (v - pv) then add pv back: equivalent to constant-padding with
+    # pv, but differentiable w.r.t. a traced pv (grad through jnp.pad's
+    # constant_values is broken in jax 0.9), and gradients flow into the pad
+    # value like the reference's pc_pad_grad (ref: probclass.py:307-338).
+    pv = jnp.asarray(pad_value, volume_dhw.dtype)
+    return jnp.pad(volume_dhw - pv, widths) + pv
 
 
 def unpad_volume(volume_dhw: jax.Array, cs: int) -> jax.Array:

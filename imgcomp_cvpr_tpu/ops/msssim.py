@@ -50,8 +50,10 @@ def _gauss_kernel_1d(sigma: float, size: int) -> np.ndarray:
     return (g / np.sum(np.abs(g))).astype(np.float32)
 
 
-def _blur_valid_separable(x: jax.Array, k1d: np.ndarray) -> jax.Array:
+def _blur_valid_separable(x: jax.Array, k1d: np.ndarray, pad: int = 0) -> jax.Array:
     """Depthwise separable VALID blur (both H and W)."""
+    if pad:
+        x = tf_compat.reflect_pad_hw(x, ((pad, pad // 2), (pad, pad // 2)))
     c = x.shape[-1]
     size = k1d.shape[0]
     # depthwise: weight (kh, kw, C, 1)
@@ -127,7 +129,13 @@ def _msssim(img1: jax.Array, img2: jax.Array, max_val: float = 255.0,
         size = min(11, h, w)
         sigma = size * 1.5 / 11
         if variant == 'train':
-            blur = functools.partial(_blur_valid_separable, k1d=_gauss_kernel_1d(sigma, size))
+            k1d = _gauss_kernel_1d(sigma, size)
+            # The reference's separable blur builds a 2*(size//2)+1-tap kernel
+            # and reflect-pads (total_pad, total_pad//2) when it exceeds the
+            # image width (ref: ms_ssim.py:16-29) — only hit at the last scale
+            # of small crops.
+            total_pad = max(k1d.shape[0] - w, 0)
+            blur = functools.partial(_blur_valid_separable, k1d=k1d, pad=total_pad)
         else:
             blur = functools.partial(_blur_valid_2d, k2d=_fspecial_gauss(size, sigma))
         ssim, cs = _ssim_for_scale(im1, im2, blur, max_val)

@@ -1,0 +1,145 @@
+"""Trainer: model construction, train/eval steps, state init.
+
+Builds the full training computation from (ae_config, pc_config) —
+the equivalent of the reference's graph-build in train.py:86-127 — as pure
+jitted functions over an explicit TrainState pytree. Data parallelism is a
+1D mesh with the batch dim sharded (parallel/mesh.py); params and optimizer
+state are replicated and XLA emits the ICI all-reduce for the grads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import autoencoder as ae_lib
+from ..models import probclass as pc_lib
+from ..ops import bits as bits_lib
+from ..ops import msssim as msssim_lib
+from ..parallel import mesh as mesh_lib
+from . import distortions as distortions_lib
+from . import losses as losses_lib
+from . import optimizers as opt_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any        # {'ae': ..., 'pc': ...}
+    batch_stats: Any   # AE BatchNorm moving stats
+    opt_state: Any
+    step: jax.Array    # int32 scalar
+
+
+class Trainer:
+    def __init__(self, ae_config, pc_config, num_train_images: int = 1_281_167,
+                 num_crops_per_img: int = 1, mesh=None):
+        self.ae_config = ae_config
+        self.pc_config = pc_config
+        self.ae = ae_lib.get_network_cls(ae_config)(ae_config)
+        self.pc = pc_lib.ProbClassifier(pc_config, ae_config.num_centers)
+        itr_per_epoch = opt_lib.num_itr_per_epoch(
+            num_train_images, ae_config.batch_size, num_crops_per_img)
+        self.optimizer = opt_lib.make_optimizer(ae_config, pc_config, itr_per_epoch)
+        self.mesh = mesh
+
+        donate = (0,)
+        if mesh is not None:
+            state_sh = mesh_lib.replicated(mesh)
+            batch_sh = mesh_lib.batch_sharding(mesh)
+            self.train_step = jax.jit(
+                self._train_step, donate_argnums=donate,
+                in_shardings=(state_sh, batch_sh),
+                out_shardings=(state_sh, state_sh))
+            self.eval_step = jax.jit(self._eval_step,
+                                     in_shardings=(state_sh, batch_sh))
+        else:
+            self.train_step = jax.jit(self._train_step, donate_argnums=donate)
+            self.eval_step = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, crop_hw: Optional[Tuple[int, int]] = None,
+                   batch_size: int = 2) -> TrainState:
+        if crop_hw is None:
+            crop_hw = self.ae_config.crop_size
+        h, w = crop_hw
+        kae, kpc = jax.random.split(key)
+        x = jnp.zeros((batch_size, h, w, 3), jnp.float32)
+        ae_vars = self.ae.init(kae, x, False)
+        latent_shape = (batch_size, h // ae_lib.SUBSAMPLING_FACTOR,
+                        w // ae_lib.SUBSAMPLING_FACTOR, self.ae_config.num_chan_bn)
+        pc_vars = self.pc.init(kpc, latent_shape)
+        params = {'ae': ae_vars['params'], 'pc': pc_vars['params']}
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params=params, batch_stats=ae_vars['batch_stats'],
+                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = mesh_lib.replicate(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _forward(self, params, batch_stats, x, train: bool, mutable: bool):
+        ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
+        if mutable:
+            (enc, x_out), new_model_state = self.ae.apply(
+                ae_vars, x, train, mutable=['batch_stats'])
+            new_stats = new_model_state['batch_stats']
+        else:
+            enc, x_out = self.ae.apply(ae_vars, x, train)
+            new_stats = batch_stats
+        centers = params['ae']['encoder']['centers']
+        pad_value = pc_lib.auto_pad_value(self.pc_config, centers)
+        # Train uses qbar with stopped gradient into the PC input
+        # (ref: train.py:104-105); eval uses qhard (ref: val.py:88 uses qbar
+        # for bitcost but qhard for decode; train-test graph uses qhard).
+        pc_in = jax.lax.stop_gradient(enc.qbar) if train else enc.qbar
+        bc = self.pc.bitcost({'params': params['pc']}, pc_in, enc.symbols,
+                             pad_value=pad_value)
+        return enc, x_out, bc, new_stats
+
+    def _loss_fn(self, params, batch_stats, x):
+        enc, x_out, bc, new_stats = self._forward(params, batch_stats, x,
+                                                  train=True, mutable=True)
+        d_loss, d_comps = distortions_lib.compute(self.ae_config, x, x_out,
+                                                  is_training=True)
+        centers = params['ae']['encoder']['centers']
+        total, comps = losses_lib.total_loss(
+            self.ae_config, self.pc_config, d_loss, bc, enc.heatmap,
+            params['ae'], params['pc'], centers)
+        comps.update(d_comps)
+        comps['bpp'] = bits_lib.bitcost_to_bpp(bc, x)
+        return total, (new_stats, comps)
+
+    def _train_step(self, state: TrainState, batch: jax.Array
+                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (_, (new_stats, comps)), grads = grad_fn(state.params, state.batch_stats, batch)
+        updates, new_opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt_state, step=state.step + 1)
+        return new_state, comps
+
+    def _eval_step(self, state: TrainState, batch: jax.Array) -> Dict[str, jax.Array]:
+        """Test-mode forward (is_training=False, decode(qhard), ref:
+        train.py:115-127)."""
+        params, batch_stats = state.params, state.batch_stats
+        ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
+        enc = self.ae.apply(ae_vars, batch, False, method='encode')
+        x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
+        centers = params['ae']['encoder']['centers']
+        bc = self.pc.bitcost({'params': params['pc']}, enc.qhard, enc.symbols,
+                             pad_value=pc_lib.auto_pad_value(self.pc_config, centers))
+        _, d_comps = distortions_lib.compute(self.ae_config, batch, x_out,
+                                             is_training=False)
+        out = dict(d_comps)
+        out['bpp'] = bits_lib.bitcost_to_bpp(bc, batch)
+        out['ms_ssim_eval'] = msssim_lib.msssim_eval(batch, x_out)
+        return out

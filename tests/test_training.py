@@ -1,0 +1,156 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imgcomp_cvpr_tpu.data import pipeline
+from imgcomp_cvpr_tpu.training import checkpoint, optimizers, trainer
+from imgcomp_cvpr_tpu.utils import config as config_lib
+
+
+def tiny_configs():
+    ae, _ = config_lib.parse_spec('cvpr/low', 'ae')
+    pc, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    ae = ae.replace(arch_param_B=1, num_chan_bn=4, batch_size=2,
+                    crop_size=(32, 32), distortion_to_minimize='mse')
+    pc = pc.replace(arch_param__k=4)
+    return ae, pc
+
+
+@pytest.fixture(scope='module')
+def tiny_trainer():
+    ae, pc = tiny_configs()
+    return trainer.Trainer(ae, pc, num_train_images=64)
+
+
+def _batch(seed=0, n=2, hw=32):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(n, hw, hw, 3).astype(np.float32) * 255.0)
+
+
+def test_train_step_runs_and_decreases_loss(tiny_trainer):
+    t = tiny_trainer
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    batch = _batch()
+    losses = []
+    for i in range(8):
+        state, comps = t.train_step(state, batch)
+        losses.append(float(comps['total_loss']))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_step(tiny_trainer):
+    t = tiny_trainer
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    out = t.eval_step(state, _batch())
+    for k in ('bpp', 'mse', 'psnr', 'ms_ssim_eval'):
+        assert np.isfinite(float(out[k])), k
+    assert float(out['bpp']) > 0
+
+
+def test_two_group_optimizer_updates_both(tiny_trainer):
+    t = tiny_trainer
+    state = t.init_state(jax.random.PRNGKey(1), crop_hw=(32, 32), batch_size=2)
+    # snapshot before stepping: train_step donates its input state
+    before = jax.device_get(state.params)
+    state2, _ = t.train_step(state, _batch())
+    ae_before = jax.tree_util.tree_leaves(before['ae'])
+    ae_after = jax.tree_util.tree_leaves(jax.device_get(state2.params['ae']))
+    pc_before = jax.tree_util.tree_leaves(before['pc'])
+    pc_after = jax.tree_util.tree_leaves(jax.device_get(state2.params['pc']))
+    assert any(not np.allclose(a, b) for a, b in zip(ae_before, ae_after))
+    assert any(not np.allclose(a, b) for a, b in zip(pc_before, pc_after))
+
+
+def test_lr_schedule_staircase():
+    ae, _pc = tiny_configs()
+    sched = optimizers.make_schedule(ae, itr_per_epoch=10)
+    # decay_interval=2 epochs => transition every 20 steps, rate 0.1
+    assert sched(0) == pytest.approx(ae.lr_initial)
+    assert sched(19) == pytest.approx(ae.lr_initial)
+    assert sched(20) == pytest.approx(ae.lr_initial * 0.1, rel=1e-4)
+    assert sched(45) == pytest.approx(ae.lr_initial * 0.01, rel=1e-4)
+
+
+def test_num_itr_per_epoch():
+    assert optimizers.num_itr_per_epoch(100, 10, 1) == 10
+    assert optimizers.num_itr_per_epoch(100, 10, 2) == 20
+
+
+# ---------------- pipeline ----------------
+
+def test_synthetic_pipeline_batches():
+    ds = pipeline.get_dataset('synthetic:8')
+    ip = pipeline.InputPipeline(ds, crop_size=(32, 32), batch_size=4,
+                                num_preprocess_threads=2, num_crops_per_img=2)
+    it = iter(ip)
+    b1 = next(it)
+    b2 = next(it)
+    ip.stop()
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.float32
+    assert 0 <= b1.min() and b1.max() <= 255
+    assert not np.array_equal(b1, b2)
+
+
+def test_dataset_from_dir(tmp_path):
+    from PIL import Image
+    for i in range(3):
+        Image.fromarray(np.full((40, 40, 3), i * 10, np.uint8)).save(tmp_path / f'{i}.png')
+    ds = pipeline.get_dataset(str(tmp_path))
+    assert ds.num_images == 3
+    img = ds.load(1)
+    assert img.shape == (40, 40, 3) and img[0, 0, 0] == 10
+
+
+# ---------------- checkpointing ----------------
+
+def test_checkpoint_roundtrip(tmp_path, tiny_trainer):
+    t = tiny_trainer
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    state, _ = t.train_step(state, _batch())
+    saver = checkpoint.Saver(str(tmp_path / 'ckpts'))
+    saver.save(state, itr=1)
+    restored, itr = saver.restore_into(state)
+    assert itr == 1
+    orig = jax.tree_util.tree_leaves(jax.device_get(state))
+    rest = jax.tree_util.tree_leaves(restored)
+    assert len(orig) == len(rest)
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_restore_at_itr(tmp_path, tiny_trainer):
+    t = tiny_trainer
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    saver = checkpoint.Saver(str(tmp_path / 'ckpts'), max_to_keep=10)
+    for itr in (5, 10, 20):
+        saver.save(state.replace(step=jnp.asarray(itr, jnp.int32)), itr=itr)
+    _, itr = saver.restore(12)
+    assert itr == 10
+    _, itr = saver.restore()
+    assert itr == 20
+    assert [i for i, _ in checkpoint.all_ckpts_with_iterations(str(tmp_path / 'ckpts'))] \
+        == [5, 10, 20]
+
+
+def test_restore_with_skip(tmp_path, tiny_trainer):
+    t = tiny_trainer
+    s0 = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    s1, _ = t.train_step(s0, _batch())
+    saver = checkpoint.Saver(str(tmp_path / 'ckpts'))
+    saver.save(s1, itr=1)
+
+    fresh = t.init_state(jax.random.PRNGKey(7), crop_hw=(32, 32), batch_size=2)
+    rm = checkpoint.RestoreManager(str(tmp_path / 'ckpts'),
+                                   skip_vars=['opt_state', 'step'])
+    merged, itr = rm.restore(fresh)
+    assert itr == 0  # step skipped => training restarts at 0
+    # params taken from checkpoint
+    a = jax.tree_util.tree_leaves(jax.device_get(s1.params))
+    b = jax.tree_util.tree_leaves(merged.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # step kept from fresh init
+    assert int(merged.step) == 0
