@@ -1,0 +1,193 @@
+"""Validation driver (ref: val.py:40-212).
+
+Sweeps checkpoints x images for one run: per image computes cross-entropy
+bpp, MS-SSIM, PSNR (and, with real_bpp, the actual entropy-coded bpp via
+the TPU codec with a bit-exact round-trip check), writes measures.csv,
+aggregates, and records validated iterations.
+
+TPU shape discipline: XLA compiles one executable per distinct padded image
+shape (Kodak has two orientations => two compiles); the per-shape fetch
+functions are cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import defaultdict
+from os import path, makedirs
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.images_iterator import ImagesIterator
+from ..models import autoencoder as ae_lib
+from ..models import probclass as pc_lib
+from ..ops import bits as bits_lib
+from ..ops import metrics as metrics_lib
+from ..ops import msssim as msssim_lib
+from ..training import checkpoint as checkpoint_lib
+from ..utils import config as config_lib
+from ..utils import logdir as logdir_lib
+from .val_files import MeasuresWriter, ValidationDirs
+
+
+class OutputFlags:
+    def __init__(self, save_ours: bool = False, ckpt_step: int = -1,
+                 real_bpp: bool = False):
+        self.save_ours = save_ours
+        self.ckpt_step = ckpt_step
+        self.real_bpp = real_bpp
+
+
+class EvalModel:
+    """Jitted per-image metrics computation for a fixed (ae, pc) config pair."""
+
+    def __init__(self, ae_config, pc_config):
+        self.ae_config = ae_config
+        self.pc_config = pc_config
+        self.ae = ae_lib.get_network_cls(ae_config)(ae_config)
+        self.pc = pc_lib.ProbClassifier(pc_config, ae_config.num_centers)
+        self.params = None  # set via set_params
+
+    def set_params(self, params: Dict, batch_stats: Dict) -> None:
+        self.params = jax.device_put(params)
+        self.batch_stats = jax.device_put(batch_stats)
+
+    @functools.lru_cache(maxsize=32)
+    def _fetch_fn(self, h: int, w: int):
+        @jax.jit
+        def fetch(params, batch_stats, x_uint8):
+            x = x_uint8[None].astype(jnp.float32)  # (1, H, W, 3)
+            ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
+            enc = self.ae.apply(ae_vars, x, False, method='encode')
+            x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
+            centers = params['ae']['encoder']['centers']
+            # bitcost from qbar at eval (ref: val.py:88)
+            bc = self.pc.bitcost({'params': params['pc']}, enc.qbar, enc.symbols,
+                                 pad_value=pc_lib.auto_pad_value(self.pc_config, centers))
+            x_out_uint8 = x_out.astype(jnp.uint8)
+            return {
+                'bpp': bits_lib.bitcost_to_bpp(bc, x),
+                'ms-ssim': msssim_lib.msssim_eval(
+                    x_uint8[None].astype(jnp.float32),
+                    x_out_uint8.astype(jnp.float32)),
+                'psnr': metrics_lib.psnr_per_image(
+                    x, x_out_uint8.astype(jnp.float32), cast_to_int=True)[0],
+                'sym': enc.symbols[0],
+                'img_out': x_out_uint8,
+            }
+        return fetch
+
+    def fetch(self, img_hwc_uint8: np.ndarray) -> Dict[str, np.ndarray]:
+        h, w = img_hwc_uint8.shape[:2]
+        out = self._fetch_fn(h, w)(self.params, self.batch_stats,
+                                   jnp.asarray(img_hwc_uint8))
+        return jax.device_get(out)
+
+
+def build_eval_model_from_log_dir(log_dir: str) -> EvalModel:
+    """Recover configs from the log-dir name (config identity is part of
+    checkpoint identity, ref: val.py:69-72)."""
+    from ..utils import constants
+    base_ae = constants.CONFIG_BASE_AE or path.join(config_lib.default_config_root(), 'ae')
+    base_pc = constants.CONFIG_BASE_PC or path.join(config_lib.default_config_root(), 'pc')
+    ae_path, pc_path = logdir_lib.config_paths_from_log_dir(
+        log_dir, base_dirs=[base_ae, base_pc])
+    ae_config, _ = config_lib.parse(ae_path, base_dir=base_ae)
+    pc_config, _ = config_lib.parse(pc_path, base_dir=base_pc)
+    return EvalModel(ae_config, pc_config)
+
+
+class ValuesAggregator:
+    def __init__(self, *tags):
+        self.tags = tags
+        self._values = defaultdict(list)
+
+    def update(self, otp: Dict) -> None:
+        for tag in self.tags:
+            v = float(otp[tag])
+            assert not np.isnan(v), f'nan in {tag}'
+            self._values[tag].append(v)
+
+    def averages(self) -> Dict[str, float]:
+        return {t: float(np.mean(v)) for t, v in self._values.items()}
+
+    def averages_str(self) -> str:
+        return ', '.join(f'{t}: {v:.3f}' for t, v in self.averages().items())
+
+
+def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
+             flags: OutputFlags, eval_model: Optional[EvalModel] = None) -> None:
+    validated = set(val_dirs.get_validated_checkpoints())
+    all_ckpts = checkpoint_lib.all_ckpts_with_iterations(val_dirs.ckpt_dir)
+    if not all_ckpts:
+        print(f'No checkpoints found in {val_dirs.ckpt_dir}')
+        return
+    ckpts_to_check = all_ckpts[:-1:flags.ckpt_step] + [all_ckpts[-1]] \
+        if flags.ckpt_step != -1 else [all_ckpts[-1]]
+    missing = [(i, p) for i, p in ckpts_to_check if i not in validated]
+    if not missing:
+        print('All checkpoints validated, stopping...')
+        return
+
+    if eval_model is None:
+        eval_model = build_eval_model_from_log_dir(val_dirs.log_dir)
+
+    codec = None
+    if flags.real_bpp:
+        from ..coding import codec as codec_mod
+        codec = codec_mod.LatentCodec(eval_model.pc, eval_model.pc_config)
+
+    saver = checkpoint_lib.Saver(val_dirs.ckpt_dir)
+    last_itr = missing[-1][0]
+    for ckpt_itr, ckpt_path in missing:
+        print(f'- Validating ckpt {ckpt_itr} ----------')
+        raw, _ = saver.restore(ckpt_itr)
+        eval_model.set_params(raw['params'], raw['batch_stats'])
+
+        agg = ValuesAggregator('bpp', 'ms-ssim', 'psnr')
+        measures_writer = MeasuresWriter(val_dirs.out_dir)
+        for img_i, (img_name, img) in enumerate(
+                images_iterator.iter_imgs(pad=ae_lib.SUBSAMPLING_FACTOR)):
+            otp = eval_model.fetch(img)
+            measures_writer.append(img_name, {k: float(otp[k])
+                                              for k in ('bpp', 'ms-ssim', 'psnr')})
+            if flags.real_bpp:
+                num_pixels = img.shape[0] * img.shape[1]
+                centers = jax.device_get(
+                    eval_model.params['ae']['encoder']['centers'])
+                result = codec.roundtrip(
+                    {'params': eval_model.params['pc']}, otp['sym'], centers)
+                bpp_real = result.num_bits / num_pixels
+                bpp_theory = result.theoretical_bits / num_pixels
+                bpp_loss = float(otp['bpp'])
+                print(f'BPP: Real         {bpp_real:.5f}\n'
+                      f'     Theoretical: {bpp_theory:.5f} '
+                      f'[{bpp_theory / bpp_real * 100:5.1f}% of real]\n'
+                      f'     Loss:        {bpp_loss:.5f} '
+                      f'[{bpp_loss / bpp_real * 100:5.1f}% of real]')
+            if flags.save_ours and ckpt_itr == last_itr:
+                save_img(img_name, otp['img_out'], val_dirs)
+            agg.update(otp)
+            print(f'{img_i: 10d} {img_name} | Mean: {agg.averages_str()}',
+                  flush=True)
+        measures_writer.close()
+        avgs = agg.averages()
+        summary_path = path.join(val_dirs.out_dir, f'summary_{ckpt_itr}.json')
+        import json
+        with open(summary_path, 'w') as f:
+            json.dump({'iteration': ckpt_itr, **avgs}, f, indent=1)
+        val_dirs.add_validated_checkpoint(ckpt_itr)
+    print(f'Validation completed {val_dirs}')
+
+
+def save_img(img_name: str, img_out_hwc: np.ndarray, val_dirs: ValidationDirs) -> None:
+    from PIL import Image
+    img_dir = path.join(val_dirs.out_dir, 'imgs')
+    makedirs(img_dir, exist_ok=True)
+    arr = np.asarray(img_out_hwc)
+    if arr.ndim == 4:
+        arr = arr[0]
+    Image.fromarray(arr).save(path.join(img_dir, img_name))

@@ -1,0 +1,131 @@
+"""Top-level training driver (ref: train.py:58-269).
+
+Wires configs -> log dir -> Trainer -> input pipelines -> the hot loop with
+periodic console/JSONL logging, checkpointing, and test-split evaluation.
+The hot loop is one jitted donate-in-place train step per iteration; host
+work (next-batch fetch) overlaps device compute via the pipeline's
+prefetch queue and JAX async dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data import pipeline as pipeline_lib
+from ..parallel import mesh as mesh_lib
+from ..utils import config as config_lib
+from ..utils import logdir as logdir_lib
+from ..utils import logger as logger_lib
+from ..utils import registry as registry_lib
+from . import checkpoint as checkpoint_lib
+from .trainer import Trainer
+
+
+@dataclass
+class TrainFlags:
+    log_interval_train: int = 100
+    log_interval_test: int = 1000
+    log_interval_save: int = 1000
+    max_steps: Optional[int] = None
+    profile_steps: Optional[int] = None  # trace steps [10, 10+profile_steps)
+
+
+def train(ae_config_spec: str, pc_config_spec: str,
+          dataset_train: str = 'synthetic:64',
+          dataset_test: str = 'synthetic:8',
+          log_dir_root: str = 'logs',
+          restore_manager: Optional[checkpoint_lib.RestoreManager] = None,
+          flags: TrainFlags = TrainFlags(),
+          ckpt_interval_hours: float = 1.0,
+          description: str = '',
+          seed: int = 1234,
+          num_devices: Optional[int] = None) -> str:
+    ae_config, ae_rel = config_lib.parse_spec(ae_config_spec, 'ae')
+    pc_config, pc_rel = config_lib.parse_spec(pc_config_spec, 'pc')
+    print(f'Using ae_config ({ae_rel}):\n{ae_config}\n---\n'
+          f'Using pc_config ({pc_rel}):\n{pc_config}')
+
+    if restore_manager is not None and restore_manager.continue_in_ckpt_dir:
+        log_dir = restore_manager.log_dir
+    else:
+        log_dir = logdir_lib.create_unique_log_dir(
+            [ae_rel, pc_rel], log_dir_root,
+            restore_dir=restore_manager.ckpt_dir if restore_manager else None)
+    print(f'- LOG DIR: {log_dir}')
+
+    if description:
+        registry_lib.insert_run(
+            log_dir_root, logdir_lib.log_date_from_log_dir(log_dir),
+            ae_rel, pc_rel, description,
+            is_continue=bool(restore_manager and restore_manager.continue_in_ckpt_dir))
+
+    mesh = mesh_lib.make_mesh(num_devices) if (num_devices or len(jax.devices()) > 1) \
+        else None
+
+    ds_train = pipeline_lib.get_dataset(dataset_train)
+    ds_test = pipeline_lib.get_dataset(dataset_test)
+    ip_train = pipeline_lib.InputPipeline(
+        ds_train, ae_config.crop_size, batch_size=ae_config.batch_size,
+        shuffle=True).start()
+    ip_test = pipeline_lib.InputPipeline(
+        ds_test, ae_config.crop_size, batch_size=ae_config.batch_size,
+        shuffle=False, num_crops_per_img=1).start()
+
+    trainer = Trainer(ae_config, pc_config, num_train_images=ds_train.num_images,
+                      num_crops_per_img=ip_train.num_crops_per_img, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+    start_itr = 0
+    if restore_manager is not None:
+        state, start_itr = restore_manager.restore(state)
+        print(f'Restored at iteration {start_itr}')
+
+    saver = checkpoint_lib.Saver(logdir_lib.ckpt_dir_for_log_dir(log_dir),
+                                 max_to_keep=1,
+                                 keep_every_n_hours=ckpt_interval_hours)
+    train_logger = logger_lib.MetricsLogger(log_dir, 'train')
+    test_logger = logger_lib.MetricsLogger(log_dir, 'test')
+    timer = logger_lib.Timer(flags.log_interval_train, ae_config.batch_size)
+
+    def put(batch: np.ndarray):
+        if mesh is not None:
+            batch = mesh_lib.pad_batch_to_multiple(batch, len(mesh.devices))
+            return mesh_lib.shard_batch(batch, mesh)
+        return jax.device_put(batch)
+
+    itr = start_itr
+    try:
+        while flags.max_steps is None or itr < flags.max_steps:
+            if flags.profile_steps and itr == 10:
+                jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
+            batch = put(ip_train.get_batch())
+            state, comps = trainer.train_step(state, batch)
+            itr = int(state.step)
+            if flags.profile_steps and itr == 10 + flags.profile_steps:
+                jax.profiler.stop_trace()
+
+            if itr % flags.log_interval_train == 0:
+                scalars = {k: float(v) for k, v in jax.device_get(comps).items()}
+                scalars['img_per_sec'] = timer.get_avg_ex_per_sec()
+                train_logger.log(itr, scalars)
+                timer.reset()
+
+            if itr % flags.log_interval_save == 0:
+                saver.save(state, itr)
+
+            if flags.log_interval_test > 0 and itr % flags.log_interval_test == 0:
+                test_batch = put(ip_test.get_batch())
+                test_out = jax.device_get(trainer.eval_step(state, test_batch))
+                test_logger.log(itr, {k: float(v) for k, v in test_out.items()})
+    finally:
+        ip_train.stop()
+        ip_test.stop()
+        saver.save(state, max(itr, 1))
+        train_logger.close()
+        test_logger.close()
+    return log_dir
