@@ -1,0 +1,199 @@
+"""On-device autoregressive latent codec.
+
+Replaces the reference's per-symbol sess.run + Python arithmetic coder
+(ref: bit_counter.py:103-163, probclass.py:425-482, ~350s/Kodak image) with
+a single jitted `lax.scan` over wavefront steps that runs entirely on TPU:
+
+  per step: gather M causal context patches -> context-model logits
+  (the same flax module as training) -> softmax -> integer CDFs ->
+  vectorized rANS lane decode -> scatter decoded center values back into
+  the working volume.
+
+Bit-exactness strategy: float logits feed an integer CDF quantization, so
+encode and decode MUST compute identical floats. They do, because both
+run the *same compiled executable*: the scan takes a traced `mode` flag —
+encode mode feeds the true symbols into the volume (teacher forcing) and
+records each symbol's (freq, cdf_low); decode mode uses the rANS-decoded
+symbol. The rANS math itself is pure integer arithmetic. The encoder then
+runs the reverse interleaved-rANS pass over the recorded tables
+(coding/rans.py) and serializes per-lane streams.
+
+The bitstream format is *not* the reference's (block-parallel lanes vs one
+sequential stream); parity is defined as symbol round-trip exactness +
+coded size matching the theoretical cross-entropy (SURVEY.md §7 "hard
+parts" #1).
+"""
+
+from __future__ import annotations
+
+import functools
+import io
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import probclass as pc_lib
+from . import rans
+from . import wavefront
+
+MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
+VERSION = 1
+
+
+class EncodeResult(NamedTuple):
+    bitstream: bytes
+    num_bits: int               # len(bitstream) * 8
+    theoretical_bits: float     # sum of -log2(freq/SCALE) over all symbols
+    symbols: np.ndarray         # what was encoded (C, H, W)
+
+
+class LatentCodec:
+    """Entropy codec for one (pc_config, num_centers) context model."""
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config):
+        self.pc = pc
+        self.pc_config = pc_config
+        self.context_size = pc_lib.context_size(pc_config)
+
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _scan_fn(self, latent_shape: Tuple[int, int, int]):
+        sched = wavefront.build_schedule(latent_shape, self.context_size)
+        ctx_d = self.context_size // 2 + 1
+        cs = self.context_size
+        n_ctx = ctx_d * cs * cs
+        flat_size = int(np.prod(sched.padded_shape))
+
+        ctx_offsets = jnp.asarray(sched.ctx_offsets)
+        xs = {
+            'base': jnp.asarray(sched.base_flat),
+            'scatter': jnp.asarray(sched.scatter_flat),
+            'sym_idx': jnp.asarray(sched.sym_flat),
+            'active': jnp.asarray(sched.active),
+        }
+
+        @jax.jit
+        def run(pc_params, centers, true_syms_flat, streams, init_states, mode):
+            """mode: 0 = decode, 1 = encode (teacher-forced). Same executable
+            for both — that is the bit-exactness guarantee."""
+            pad_value = pc_lib.auto_pad_value(self.pc_config, centers)
+            volume = jnp.full((flat_size,), pad_value, jnp.float32)
+
+            def step(carry, x):
+                volume, states, ptrs = carry
+                idx = x['base'][:, None] + ctx_offsets[None, :]      # (M, n_ctx)
+                patches = jnp.take(volume, idx, axis=0)
+                patches = patches.reshape(-1, ctx_d, cs, cs)
+                logits = self.pc.logits_from_padded(pc_params, patches)  # (M,1,1,1,L)
+                logits = logits.reshape(logits.shape[0], -1)
+                probs = jax.nn.softmax(logits, axis=-1)
+                freq, cdf_low = rans.quantize_cdf(probs)
+
+                sym_dec, states, ptrs = rans.decode_step(
+                    states, ptrs, streams, freq, cdf_low, x['active'])
+                sym_true = jnp.take(true_syms_flat, x['sym_idx'])
+                sym = jnp.where(mode == 1, sym_true, sym_dec)
+                sym = jnp.where(x['active'], sym, 0)
+
+                value = jnp.take(centers, sym)
+                volume = volume.at[x['scatter']].set(
+                    jnp.where(x['active'], value, 0.0), mode='drop')
+
+                sel = sym[:, None].astype(jnp.int32)
+                freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
+                start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
+                return (volume, states, ptrs), (sym.astype(jnp.int8), freq_sel,
+                                                start_sel)
+
+            init = (volume, init_states, jnp.zeros((sched.M,), jnp.int32))
+            (_, _, final_ptrs), ys = jax.lax.scan(step, init, xs)
+            syms, freq_sel, start_sel = ys
+            return syms, freq_sel, start_sel, final_ptrs
+
+        return run, sched
+
+    # ------------------------------------------------------------------
+
+    def encode(self, pc_params, symbols: np.ndarray, centers: np.ndarray
+               ) -> EncodeResult:
+        """symbols: (C, H, W) int; centers: (L,) float32."""
+        symbols = np.asarray(symbols)
+        run, sched = self._scan_fn(tuple(symbols.shape))
+        streams_dummy = jnp.zeros((sched.M, sched.T), jnp.uint32)
+        states_dummy = jnp.full((sched.M,), rans.RANS_L, jnp.uint32)
+        syms, freq_sel, start_sel, _ = run(
+            pc_params, jnp.asarray(centers),
+            jnp.asarray(symbols.ravel(), jnp.int32),
+            streams_dummy, states_dummy, jnp.int32(1))
+        freq_sel = np.asarray(jax.device_get(freq_sel))
+        start_sel = np.asarray(jax.device_get(start_sel))
+
+        lane_streams, final_states = rans.vectorized_encode(
+            freq_sel, start_sel, sched.active)
+        theoretical_bits = float(np.sum(
+            -np.log2(np.maximum(freq_sel[sched.active], 1) / rans.SCALE)))
+        bitstream = _serialize(symbols.shape, lane_streams, final_states)
+        return EncodeResult(bitstream=bitstream, num_bits=len(bitstream) * 8,
+                            theoretical_bits=theoretical_bits, symbols=symbols)
+
+    def decode(self, pc_params, bitstream: bytes, centers: np.ndarray) -> np.ndarray:
+        latent_shape, lane_streams, states = _deserialize(bitstream)
+        run, sched = self._scan_fn(latent_shape)
+        streams = np.zeros((sched.M, sched.T), np.uint32)
+        for j, words in enumerate(lane_streams):
+            streams[j, :len(words)] = words
+        dummy_true = jnp.zeros((int(np.prod(latent_shape)),), jnp.int32)
+        syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
+                            jnp.asarray(streams), jnp.asarray(states),
+                            jnp.int32(0))
+        syms = np.asarray(jax.device_get(syms))  # (T, M) int8
+        out = np.zeros(latent_shape, np.int32).ravel()
+        out[sched.sym_flat[sched.active]] = syms[sched.active]
+        return out.reshape(latent_shape)
+
+    def roundtrip(self, pc_params, symbols: np.ndarray, centers: np.ndarray
+                  ) -> EncodeResult:
+        """Encode, decode, assert bit-exact symbol recovery
+        (the reference's oracle, ref: bit_counter.py:68)."""
+        result = self.encode(pc_params, symbols, centers)
+        decoded = self.decode(pc_params, result.bitstream, centers)
+        np.testing.assert_array_equal(np.asarray(symbols, np.int32), decoded)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Bitstream container
+# ---------------------------------------------------------------------------
+
+def _serialize(latent_shape, lane_streams, final_states: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    buf.write(np.asarray([VERSION], np.uint16).tobytes())
+    buf.write(np.asarray(latent_shape, np.uint16).tobytes())
+    m = len(lane_streams)
+    buf.write(np.asarray([m], np.uint32).tobytes())
+    buf.write(final_states.astype(np.uint32).tobytes())
+    lens = np.asarray([len(w) for w in lane_streams], np.uint32)
+    buf.write(lens.tobytes())
+    for w in lane_streams:
+        buf.write(w.astype(np.uint16).tobytes())
+    return buf.getvalue()
+
+
+def _deserialize(data: bytes):
+    buf = io.BytesIO(data)
+    assert buf.read(4) == MAGIC, 'bad magic'
+    version = np.frombuffer(buf.read(2), np.uint16)[0]
+    assert version == VERSION, version
+    latent_shape = tuple(int(v) for v in np.frombuffer(buf.read(6), np.uint16))
+    m = int(np.frombuffer(buf.read(4), np.uint32)[0])
+    states = np.frombuffer(buf.read(4 * m), np.uint32).copy()
+    lens = np.frombuffer(buf.read(4 * m), np.uint32)
+    lane_streams = []
+    for n in lens:
+        lane_streams.append(np.frombuffer(buf.read(2 * int(n)), np.uint16)
+                            .astype(np.uint32))
+    return latent_shape, lane_streams, states

@@ -1,0 +1,159 @@
+"""Interleaved rANS primitives.
+
+The reference entropy-codes with a sequential 32-bit arithmetic coder fed
+one frequency table per symbol via a sess.run each (ref:
+arithmetic_coding.py:80-115, bit_counter.py:124-134; ~350 s/image). The
+TPU-native design replaces it with M independent rANS streams ("lanes"),
+one per wavefront slot, so the whole decode runs vectorized on device:
+
+- state: uint32 in [2^16, 2^32); 16-bit renormalization words;
+- probabilities quantized to freq tables summing to 2^16 (SCALE_BITS=16);
+- encode runs in *reverse* symbol order per lane (LIFO), decode forward —
+  which matches the autoregressive direction: CDFs become available
+  front-to-back, exactly when the decoder needs them;
+- at most one renorm word per symbol in either direction, so a (M, T)
+  uint16 buffer statically bounds any stream.
+
+`quantize_cdf` is pure jnp and runs inside the decode scan; its encode-side
+twin is the *same compiled code* (coding/codec.py), which is what makes the
+float->integer CDF mapping bit-exact between encode and decode.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCALE_BITS = 16
+SCALE = 1 << SCALE_BITS          # total frequency
+RANS_L = 1 << 16                 # lower bound of the state interval
+WORD_BITS = 16
+WORD_MASK = (1 << WORD_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# CDF quantization (jnp; also usable with numpy inputs via jnp)
+# ---------------------------------------------------------------------------
+
+def quantize_cdf(probs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., L) float probs -> (freq, cdf_low) uint32 with sum(freq) == SCALE.
+
+    Deterministic: floor(p * (SCALE - L)) + 1 per symbol (guarantees
+    freq >= 1, the reference's np.maximum(f, 1), ref probclass.py:474),
+    remainder assigned to the argmax symbol.
+    """
+    L = probs.shape[-1]
+    scaled = jnp.floor(probs * (SCALE - L)).astype(jnp.int32) + 1
+    deficit = SCALE - jnp.sum(scaled, axis=-1, keepdims=True)      # may be ±small
+    am = jnp.argmax(probs, axis=-1, keepdims=True)
+    onehot = (jnp.arange(L, dtype=jnp.int32) == am).astype(jnp.int32)
+    freq = (scaled + onehot * deficit).astype(jnp.uint32)
+    cdf_low = jnp.cumsum(freq, axis=-1, dtype=jnp.uint32) - freq
+    return freq, cdf_low
+
+
+# ---------------------------------------------------------------------------
+# Scalar reference codec (numpy) — test oracle for the vectorized paths
+# ---------------------------------------------------------------------------
+
+def scalar_encode(symbols: np.ndarray, freqs: np.ndarray, cdf_lows: np.ndarray
+                  ) -> Tuple[List[int], int]:
+    """Encode one lane. symbols: (N,), freqs/cdf_lows: (N, L) per-symbol
+    tables. Returns (words in decode-read order, final_state)."""
+    x = RANS_L
+    emitted: List[int] = []
+    for i in range(len(symbols) - 1, -1, -1):
+        s = int(symbols[i])
+        f = int(freqs[i, s])
+        start = int(cdf_lows[i, s])
+        if x >= (f << WORD_BITS):
+            emitted.append(x & WORD_MASK)
+            x >>= WORD_BITS
+        x = ((x // f) << SCALE_BITS) + (x % f) + start
+        assert RANS_L <= x < (1 << 32)
+    return emitted[::-1], x
+
+
+def scalar_decode(words: List[int], state: int, freqs: np.ndarray,
+                  cdf_lows: np.ndarray) -> np.ndarray:
+    """Decode one lane of len(freqs) symbols."""
+    x = state
+    pos = 0
+    out = []
+    for i in range(freqs.shape[0]):
+        slot = x & (SCALE - 1)
+        s = int(np.sum(cdf_lows[i] <= slot)) - 1
+        out.append(s)
+        x = int(freqs[i, s]) * (x >> SCALE_BITS) + slot - int(cdf_lows[i, s])
+        if x < RANS_L:
+            w = words[pos] if pos < len(words) else 0
+            pos += 1
+            x = (x << WORD_BITS) | w
+    return np.asarray(out, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized reverse encoder (numpy, all lanes at once)
+# ---------------------------------------------------------------------------
+
+def vectorized_encode(sym_sel_freq: np.ndarray, sym_sel_start: np.ndarray,
+                      active: np.ndarray
+                      ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Encode M lanes over T steps.
+
+    sym_sel_freq/sym_sel_start: (T, M) uint32 — freq and cdf_low of the coded
+    symbol at each (step, lane); active: (T, M) bool. Returns
+    (per-lane word arrays in decode-read order, final states (M,) uint32).
+    """
+    T, M = sym_sel_freq.shape
+    x = np.full(M, RANS_L, np.uint64)
+    emitted: List[List[int]] = [[] for _ in range(M)]
+    for t in range(T - 1, -1, -1):
+        a = active[t]
+        f = sym_sel_freq[t].astype(np.uint64)
+        start = sym_sel_start[t].astype(np.uint64)
+        f_safe = np.where(a, np.maximum(f, 1), 1)
+        emit = a & (x >= (f_safe << WORD_BITS))
+        if emit.any():
+            words = (x & WORD_MASK).astype(np.uint32)
+            for j in np.nonzero(emit)[0]:
+                emitted[j].append(int(words[j]))
+        x = np.where(emit, x >> WORD_BITS, x)
+        x_new = ((x // f_safe) << SCALE_BITS) + (x % f_safe) + start
+        x = np.where(a, x_new, x)
+    streams = [np.asarray(e[::-1], np.uint32) for e in emitted]
+    return streams, x.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# In-scan decode step (jnp) — used inside the wavefront scan
+# ---------------------------------------------------------------------------
+
+def decode_step(states: jax.Array, ptrs: jax.Array, streams: jax.Array,
+                freq: jax.Array, cdf_low: jax.Array, active: jax.Array
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One vectorized rANS decode step for M lanes.
+
+    states: (M,) uint32; ptrs: (M,) int32 read pointers; streams: (M, W)
+    uint32 word buffers; freq/cdf_low: (M, L) uint32 this step's tables;
+    active: (M,) bool. Returns (symbols (M,) int32, new_states, new_ptrs);
+    inactive lanes keep their state/ptr and return symbol 0.
+    """
+    m = states.shape[0]
+    slot = (states & jnp.uint32(SCALE - 1)).astype(jnp.uint32)
+    sym = (jnp.sum((cdf_low <= slot[:, None]), axis=-1) - 1).astype(jnp.int32)
+    f = jnp.take_along_axis(freq, sym[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    start = jnp.take_along_axis(cdf_low, sym[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    x = f * (states >> SCALE_BITS) + slot - start
+    need = x < jnp.uint32(RANS_L)
+    word = jnp.take_along_axis(streams, jnp.clip(ptrs, 0, streams.shape[1] - 1)[:, None],
+                               axis=-1)[:, 0]
+    x = jnp.where(need, (x << WORD_BITS) | word, x)
+    new_ptrs = ptrs + need.astype(jnp.int32)
+    states_out = jnp.where(active, x, states)
+    ptrs_out = jnp.where(active, new_ptrs, ptrs)
+    sym_out = jnp.where(active, sym, 0)
+    return sym_out, states_out, ptrs_out

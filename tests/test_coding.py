@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imgcomp_cvpr_tpu.coding import codec as codec_lib
+from imgcomp_cvpr_tpu.coding import rans, wavefront
+from imgcomp_cvpr_tpu.models import probclass
+from imgcomp_cvpr_tpu.utils import config as config_lib
+
+
+# ---------------- rANS primitives ----------------
+
+def _random_tables(rng, n, L=6):
+    probs = rng.dirichlet(np.ones(L) * 0.5, size=n).astype(np.float32)
+    freq, cdf_low = jax.device_get(rans.quantize_cdf(jnp.asarray(probs)))
+    return probs, freq.astype(np.uint32), cdf_low.astype(np.uint32)
+
+
+def test_quantize_cdf_invariants():
+    rng = np.random.RandomState(0)
+    _, freq, cdf_low = _random_tables(rng, 100)
+    assert (freq >= 1).all()
+    np.testing.assert_array_equal(freq.sum(axis=-1), rans.SCALE)
+    np.testing.assert_array_equal(cdf_low[:, 0], 0)
+    np.testing.assert_array_equal(np.cumsum(freq, axis=-1)[:, :-1], cdf_low[:, 1:])
+
+
+def test_scalar_rans_roundtrip():
+    rng = np.random.RandomState(1)
+    n = 500
+    _, freq, cdf_low = _random_tables(rng, n)
+    syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
+    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    dec = rans.scalar_decode(words, state, freq, cdf_low)
+    np.testing.assert_array_equal(syms, dec)
+    # coded size ~ entropy
+    bits = len(words) * 16 + 32
+    theo = np.sum(-np.log2(freq[np.arange(n), syms] / rans.SCALE))
+    assert bits < theo + 64
+
+
+def test_vectorized_encode_matches_scalar():
+    rng = np.random.RandomState(2)
+    T, M = 40, 5
+    freq = np.zeros((T, M), np.uint32)
+    start = np.zeros((T, M), np.uint32)
+    active = rng.rand(T, M) < 0.8
+    tables = {}
+    syms = np.zeros((T, M), np.int32)
+    for j in range(M):
+        n = active[:, j].sum()
+        _, f, c = _random_tables(rng, n)
+        s = np.array([rng.choice(6, p=ff / ff.sum()) for ff in f])
+        tables[j] = (f, c, s)
+        freq[active[:, j], j] = f[np.arange(n), s]
+        start[active[:, j], j] = c[np.arange(n), s]
+        syms[active[:, j], j] = s
+    streams, states = rans.vectorized_encode(freq, start, active)
+    for j in range(M):
+        f, c, s = tables[j]
+        words_ref, state_ref = rans.scalar_encode(s, f, c)
+        np.testing.assert_array_equal(streams[j], words_ref)
+        assert int(states[j]) == state_ref
+        dec = rans.scalar_decode(list(streams[j]), int(states[j]), f, c)
+        np.testing.assert_array_equal(dec, s)
+
+
+def test_decode_step_matches_scalar():
+    rng = np.random.RandomState(3)
+    n = 64
+    _, freq, cdf_low = _random_tables(rng, n)
+    syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
+    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    streams = np.zeros((1, n), np.uint32)
+    streams[0, :len(words)] = words
+    states = jnp.asarray([state], jnp.uint32)
+    ptrs = jnp.zeros((1,), jnp.int32)
+    streams_j = jnp.asarray(streams)
+    out = []
+    for i in range(n):
+        sym, states, ptrs = rans.decode_step(
+            states, ptrs, streams_j,
+            jnp.asarray(freq[i:i + 1]), jnp.asarray(cdf_low[i:i + 1]),
+            jnp.asarray([True]))
+        out.append(int(sym[0]))
+    np.testing.assert_array_equal(out, syms)
+
+
+# ---------------- wavefront schedule ----------------
+
+def test_schedule_covers_all_positions():
+    sched = wavefront.build_schedule((4, 6, 8), 9)
+    assert sched.active.sum() == 4 * 6 * 8
+    seen = set()
+    for t in range(sched.T):
+        for j in range(sched.M):
+            if sched.active[t, j]:
+                seen.add(tuple(sched.positions[t, j]))
+    assert len(seen) == 4 * 6 * 8
+
+
+def test_schedule_causality():
+    sched = wavefront.build_schedule((3, 5, 6), 9)
+    wavefront.check_schedule_causality(sched, 9)
+
+
+def test_wavefront_coeffs():
+    a, b, c = wavefront.wavefront_coeffs(4)
+    assert (a, b, c) == (25, 5, 1)
+    # every causal dependency within the receptive field has smaller t
+    p = 4
+    for dd in range(0, 5):
+        for dh in range(-p, p + 1):
+            for dw in range(-p, p + 1):
+                if dd == 0 and (dh > 0 or (dh == 0 and dw >= 0)):
+                    continue  # not causal (self or later)
+                # dep at (d-dd, h+dh, w+dw)? causal deps have dd>0, any dh/dw,
+                # or dd==0, dh<0, or dd==0, dh==0, dw<0
+                delta_t = a * dd - b * dh - c * dw
+                if dd > 0 or (dd == 0 and dh < 0) or (dd == 0 and dh == 0 and dw < 0):
+                    assert delta_t > 0, (dd, dh, dw)
+
+
+# ---------------- full codec ----------------
+
+@pytest.fixture(scope='module')
+def tiny_pc_setup():
+    cfg, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    cfg = cfg.replace(arch_param__k=4)
+    pc = probclass.ProbClassifier(cfg, num_centers=6)
+    latent = (3, 6, 7)  # (C, H, W)
+    params = pc.init(jax.random.PRNGKey(0), (1, latent[1], latent[2], latent[0]))
+    centers = np.linspace(-2, 2, 6).astype(np.float32)
+    return cfg, pc, params, centers, latent
+
+
+def test_codec_roundtrip_bit_exact(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(0)
+    symbols = rng.randint(0, 6, size=latent)
+    result = codec.roundtrip(params, symbols, centers)  # asserts exactness
+    assert result.num_bits > 0
+    # coded size within header + lane overhead of theoretical
+    sched = wavefront.build_schedule(latent, 9)
+    overhead_bits = 8 * (4 + 2 + 6 + 4) + sched.M * (32 + 32 + 16)
+    assert result.num_bits <= result.theoretical_bits + overhead_bits
+
+
+def test_codec_theoretical_bits_match_bitcost(tiny_pc_setup):
+    """Quantized-CDF cost must track the model cross-entropy (the reference's
+    entropy-consistency triangle, ref bit_counter.py:51-57, val.py:174)."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(1)
+    symbols = rng.randint(0, 6, size=latent)
+    result = codec.encode(params, symbols, centers)
+
+    # full-parallel-pass bitcost (training/val rate): NHWC
+    syms_nhwc = jnp.asarray(np.transpose(symbols, (1, 2, 0))[None])
+    q_nhwc = jnp.asarray(centers)[syms_nhwc]
+    bc = pc.bitcost(params, q_nhwc, syms_nhwc, pad_value=centers[0])
+    bitcost_total = float(jnp.sum(bc))
+    # CDF quantization with SCALE=2^16 and L=6 costs < 0.1% typically
+    assert result.theoretical_bits == pytest.approx(bitcost_total, rel=5e-3)
+
+
+def test_codec_rejects_corrupt_stream(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(2)
+    symbols = rng.randint(0, 6, size=latent)
+    result = codec.encode(params, symbols, centers)
+    corrupted = bytearray(result.bitstream)
+    corrupted[-3] ^= 0xFF  # flip bits in some lane words
+    decoded = codec.decode(params, bytes(corrupted), centers)
+    assert not np.array_equal(decoded, symbols)
