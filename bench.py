@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end encode+decode throughput on Kodak-sized images.
+
+Measures the full codec path on one chip — AE encode, on-device wavefront
+entropy encode (CDF scan + reverse rANS), on-device wavefront entropy
+decode, AE decode — on 768x512 images with the flagship model
+(ae cvpr/low + pc cvpr/res_shallow).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": x}
+
+Baseline: the reference codes one Kodak image in ~350 s (encode) + ~200 s
+(decode) => 0.393 MP / 550 s = 7.15e-4 MP/s (BASELINE.md; ref README.md:65-66).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MP_PER_S = 0.393216 / 550.0  # reference: ~550 s encode+decode per Kodak image
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from imgcomp_cvpr_tpu.coding import codec as codec_lib
+    from imgcomp_cvpr_tpu.models import autoencoder as ae_lib
+    from imgcomp_cvpr_tpu.models import probclass as pc_lib
+    from imgcomp_cvpr_tpu.utils import config as config_lib
+
+    ae_config, _ = config_lib.parse_spec('cvpr/low', 'ae')
+    pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    ae = ae_lib.get_network_cls(ae_config)(ae_config)
+    pc = pc_lib.ProbClassifier(pc_config, ae_config.num_centers)
+    codec = codec_lib.LatentCodec(pc, pc_config)
+
+    h, w = 512, 768  # Kodak orientation
+    mp = h * w / 1e6
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) * 255.0)
+
+    ae_vars = ae.init(jax.random.PRNGKey(0), x, False)
+    latent = (ae_config.num_chan_bn, h // 8, w // 8)
+    pc_vars = pc.init(jax.random.PRNGKey(1),
+                      (1, latent[1], latent[2], latent[0]))
+    centers = np.asarray(jax.device_get(ae_vars['params']['encoder']['centers']))
+
+    @jax.jit
+    def ae_encode(ae_vars, x):
+        return ae.apply(ae_vars, x, False, method='encode')
+
+    @jax.jit
+    def ae_decode(ae_vars, q):
+        return ae.apply(ae_vars, q, False, method='decode')
+
+    def full_encode(img):
+        enc = ae_encode(ae_vars, img)
+        syms = np.transpose(np.asarray(jax.device_get(enc.symbols[0])), (2, 0, 1))
+        return codec.encode(pc_vars, syms, centers)
+
+    def full_decode(bitstream):
+        syms = codec.decode(pc_vars, bitstream, centers)
+        syms_nhwc = jnp.asarray(np.transpose(syms, (1, 2, 0))[None])
+        q = jnp.asarray(centers)[syms_nhwc]
+        return jax.block_until_ready(ae_decode(ae_vars, q))
+
+    # Warmup (compile everything) + correctness gate: bit-exact round-trip.
+    result = full_encode(x)
+    decoded_syms = codec.decode(pc_vars, result.bitstream, centers)
+    enc0 = ae_encode(ae_vars, x)
+    syms0 = np.transpose(np.asarray(jax.device_get(enc0.symbols[0])), (2, 0, 1))
+    np.testing.assert_array_equal(decoded_syms, syms0)
+    _ = full_decode(result.bitstream)
+
+    # Timed runs.
+    n_iter = 3
+    t0 = time.time()
+    for i in range(n_iter):
+        r = full_encode(x)
+        _ = full_decode(r.bitstream)
+    dt = (time.time() - t0) / n_iter
+
+    mp_per_s = mp / dt
+    print(json.dumps({
+        'metric': 'kodak_encode_decode_throughput',
+        'value': round(mp_per_s, 4),
+        'unit': 'MP/s',
+        'vs_baseline': round(mp_per_s / BASELINE_MP_PER_S, 1),
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -42,15 +42,73 @@ def wavefront_coeffs(pad: int) -> Tuple[int, int, int]:
     return a, b, 1
 
 
-@functools.lru_cache(maxsize=16)
-def build_schedule(latent_shape: Tuple[int, int, int], context_size: int) -> Schedule:
+def linear_step_assignment(latent_shape: Tuple[int, int, int],
+                           context_size: int) -> np.ndarray:
+    """t = a*d + b*h + c*w — simple, provably causal, but pessimistic (the
+    depth coefficient a=(p+1)^2 pays for worst-case spatial offsets)."""
     C, H, W = latent_shape
-    pad = context_size // 2
-    a, b, c = wavefront_coeffs(pad)
-
+    a, b, c = wavefront_coeffs(context_size // 2)
     d_idx, h_idx, w_idx = np.meshgrid(np.arange(C), np.arange(H), np.arange(W),
                                       indexing='ij')
-    t_all = a * d_idx + b * h_idx + c * w_idx
+    return a * d_idx + b * h_idx + c * w_idx
+
+
+def asap_step_assignment(latent_shape: Tuple[int, int, int],
+                         context_size: int) -> np.ndarray:
+    """DAG-level ASAP schedule: t(p) = 1 + max t(deps), deps = causally
+    earlier positions inside the receptive-field window. This is the true
+    critical path (~2x fewer steps than the linear wavefront for CVPR
+    geometry: rows of successive depth slices pipeline with lag ~p+1
+    instead of (p+1)^2).
+
+    Vectorized per depth slice:
+      A(h, w) = max over last ctx_d-1 depth slices, full (2p+1)^2 window
+      B(h, w) = max over rows h-p..h-1 of this slice, cols w-p..w+p
+      within-row: t(w) = max(base(w), t(w-1) + 1)
+                = w + runmax_{k<=w}(base(k) - k).
+    """
+    from scipy.ndimage import maximum_filter1d
+    C, H, W = latent_shape
+    p = context_size // 2
+    depth_reach = context_size // 2  # previous depth slices in the context
+    t = np.full((C, H, W), -1, np.int64)
+    NEG = -(1 << 40)
+    for d in range(C):
+        if d == 0:
+            A = np.full((H, W), NEG, np.int64)
+        else:
+            lo = max(0, d - depth_reach)
+            m4 = t[lo:d].max(axis=0)
+            # (2p+1)x(2p+1) max filter, border-clipped
+            a1 = maximum_filter1d(m4, size=2 * p + 1, axis=0, mode='constant',
+                                  cval=NEG)
+            A = maximum_filter1d(a1, size=2 * p + 1, axis=1, mode='constant',
+                                 cval=NEG)
+        rows = np.full((p, W), NEG, np.int64)  # last p rows of this slice
+        for h in range(H):
+            B = maximum_filter1d(rows.max(axis=0), size=2 * p + 1,
+                                 mode='constant', cval=NEG)
+            base = 1 + np.maximum(A[h], B)
+            base = np.maximum(base, 0)  # positions with no deps -> step 0
+            shifted = base - np.arange(W)
+            t[d, h] = np.arange(W) + np.maximum.accumulate(shifted)
+            rows = np.roll(rows, -1, axis=0)
+            rows[-1] = t[d, h]
+    return t
+
+
+@functools.lru_cache(maxsize=16)
+def build_schedule(latent_shape: Tuple[int, int, int], context_size: int,
+                   mode: str = 'asap') -> Schedule:
+    C, H, W = latent_shape
+    pad = context_size // 2
+
+    if mode == 'asap':
+        t_all = asap_step_assignment(latent_shape, context_size)
+    else:
+        t_all = linear_step_assignment(latent_shape, context_size)
+    d_idx, h_idx, w_idx = np.meshgrid(np.arange(C), np.arange(H), np.arange(W),
+                                      indexing='ij')
     T = int(t_all.max()) + 1
     counts = np.bincount(t_all.ravel(), minlength=T)
     M = int(counts.max())
@@ -115,7 +173,8 @@ def check_schedule_causality(sched: Schedule, context_size: int) -> None:
     p = context_size // 2
     for (d, h, w), t in step_of.items():
         # causal deps: earlier raster positions within the receptive field
-        for dd in range(max(0, d - (p // 2) - 2), d + 1):
+        # (depth window: current + p previous slices; spatial: +-p)
+        for dd in range(max(0, d - p), d + 1):
             for hh in range(max(0, h - p), min(H, h + p + 1)):
                 for ww in range(max(0, w - p), min(W, w + p + 1)):
                     if (dd, hh, ww) == (d, h, w):

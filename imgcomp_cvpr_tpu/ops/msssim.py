@@ -146,6 +146,12 @@ def _msssim(img1: jax.Array, img2: jax.Array, max_val: float = 255.0,
             im1, im2 = down(im1), down(im2)
     mcs_t = jnp.stack(mcs)
     mssim_t = jnp.stack(mssim)
+    if variant == 'train':
+        # cs/ssim can go negative for uncorrelated images (early training);
+        # negative ** fractional weight is NaN. Clamp in the training loss
+        # only — at convergence both are positive, so no parity impact.
+        mcs_t = jnp.maximum(mcs_t, 1e-6)
+        mssim_t = jnp.maximum(mssim_t, 1e-6)
     return (jnp.prod(mcs_t[:levels - 1] ** weights[:levels - 1]) *
             (mssim_t[levels - 1] ** weights[levels - 1]))
 
