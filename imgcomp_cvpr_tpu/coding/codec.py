@@ -131,7 +131,7 @@ class LatentCodec:
         freq_sel = np.asarray(jax.device_get(freq_sel))
         start_sel = np.asarray(jax.device_get(start_sel))
 
-        lane_streams, final_states = rans.vectorized_encode(
+        lane_streams, final_states = rans.encode_reverse(
             freq_sel, start_sel, sched.active)
         theoretical_bits = float(np.sum(
             -np.log2(np.maximum(freq_sel[sched.active], 1) / rans.SCALE)))

@@ -128,6 +128,34 @@ def vectorized_encode(sym_sel_freq: np.ndarray, sym_sel_start: np.ndarray,
     return streams, x.astype(np.uint32)
 
 
+def encode_reverse(sym_sel_freq: np.ndarray, sym_sel_start: np.ndarray,
+                   active: np.ndarray) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Reverse interleaved encode; dispatches to the native C++ runtime
+    (coding/native/rans.cpp) when buildable, else the numpy oracle."""
+    from .native import build as native_build
+    lib = native_build.get_lib()
+    if lib is None:
+        return vectorized_encode(sym_sel_freq, sym_sel_start, active)
+    import ctypes
+    T, M = sym_sel_freq.shape
+    freqs = np.ascontiguousarray(sym_sel_freq, np.uint32)
+    starts = np.ascontiguousarray(sym_sel_start, np.uint32)
+    act = np.ascontiguousarray(active, np.uint8)
+    out_words = np.zeros((M, T), np.uint16)
+    out_lens = np.zeros((M,), np.uint32)
+    out_states = np.zeros((M,), np.uint32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.rans_encode_reverse(
+        T, M, p(freqs, ctypes.c_uint32), p(starts, ctypes.c_uint32),
+        p(act, ctypes.c_uint8), p(out_words, ctypes.c_uint16),
+        p(out_lens, ctypes.c_uint32), p(out_states, ctypes.c_uint32))
+    streams = [out_words[j, :out_lens[j]].astype(np.uint32) for j in range(M)]
+    return streams, out_states
+
+
 # ---------------------------------------------------------------------------
 # In-scan decode step (jnp) — used inside the wavefront scan
 # ---------------------------------------------------------------------------

@@ -176,3 +176,49 @@ def test_codec_rejects_corrupt_stream(tiny_pc_setup):
     corrupted[-3] ^= 0xFF  # flip bits in some lane words
     decoded = codec.decode(params, bytes(corrupted), centers)
     assert not np.array_equal(decoded, symbols)
+
+
+# ---------------- native C++ runtime ----------------
+
+def test_native_encode_matches_numpy():
+    from imgcomp_cvpr_tpu.coding.native import build as native_build
+    lib = native_build.get_lib()
+    assert lib is not None, 'g++ available in this environment; build must work'
+    rng = np.random.RandomState(7)
+    T, M = 60, 9
+    freq = np.zeros((T, M), np.uint32)
+    start = np.zeros((T, M), np.uint32)
+    active = rng.rand(T, M) < 0.7
+    for j in range(M):
+        n = active[:, j].sum()
+        _, f, c = _random_tables(rng, n)
+        s = np.array([rng.choice(6, p=ff / ff.sum()) for ff in f])
+        freq[active[:, j], j] = f[np.arange(n), s]
+        start[active[:, j], j] = c[np.arange(n), s]
+    streams_np, states_np = rans.vectorized_encode(freq, start, active)
+    streams_cc, states_cc = rans.encode_reverse(freq, start, active)
+    np.testing.assert_array_equal(states_np, states_cc)
+    for a, b in zip(streams_np, streams_cc):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_decode_lane_matches_scalar():
+    from imgcomp_cvpr_tpu.coding.native import build as native_build
+    import ctypes
+    lib = native_build.get_lib()
+    assert lib is not None
+    rng = np.random.RandomState(8)
+    n = 200
+    _, freq, cdf_low = _random_tables(rng, n)
+    syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
+    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    words_arr = np.asarray(words, np.uint16)
+    out = np.zeros(n, np.int32)
+    lib.rans_decode_lane(
+        n, 6,
+        words_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(words),
+        ctypes.c_uint32(state),
+        np.ascontiguousarray(freq, np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.ascontiguousarray(cdf_low, np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    np.testing.assert_array_equal(out, syms)
