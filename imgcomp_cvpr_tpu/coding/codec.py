@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import io
+import zlib
 from typing import NamedTuple, Tuple
 
 import jax
@@ -39,7 +40,11 @@ from . import rans
 from . import wavefront
 
 MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
-VERSION = 1
+VERSION = 2
+
+
+def symbol_crc(symbols: np.ndarray) -> int:
+    return zlib.crc32(np.ascontiguousarray(symbols, np.int8).tobytes()) & 0xFFFFFFFF
 
 
 class EncodeResult(NamedTuple):
@@ -50,17 +55,40 @@ class EncodeResult(NamedTuple):
 
 
 class LatentCodec:
-    """Entropy codec for one (pc_config, num_centers) context model."""
+    """Entropy codec for one (pc_config, num_centers) context model.
 
-    def __init__(self, pc: pc_lib.ProbClassifier, pc_config):
+    impl='cached' (default) uses the activation-cached scan (coding/cached.py,
+    ~44x less compute per step); impl='direct' recomputes full context
+    patches per step (simpler; kept as the cross-check implementation).
+    Streams are only decodable by the implementation (and batch shape) that
+    encoded them — the container CRC catches violations.
+    """
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'cached'):
         self.pc = pc
         self.pc_config = pc_config
         self.context_size = pc_lib.context_size(pc_config)
+        assert impl in ('direct', 'cached', 'skewed'), impl
+        if impl in ('cached', 'skewed') and pc_config.kernel_size != 3:
+            impl = 'direct'  # cached paths are specialized to K=3 geometry
+        self.impl = impl
 
     # ------------------------------------------------------------------
 
     @functools.lru_cache(maxsize=8)
     def _scan_fn(self, latent_shape: Tuple[int, int, int]):
+        if self.impl == 'cached':
+            from . import cached
+            return cached.CachedScanBuilder(self.pc, self.pc_config).make_run(
+                latent_shape)
+        if self.impl == 'skewed':
+            from . import skewed
+            return skewed.SkewedScanBuilder(self.pc, self.pc_config).make_run(
+                latent_shape)
+        return self._direct_scan_fn(latent_shape)
+
+    @functools.lru_cache(maxsize=8)
+    def _direct_scan_fn(self, latent_shape: Tuple[int, int, int]):
         sched = wavefront.build_schedule(latent_shape, self.context_size)
         ctx_d = self.context_size // 2 + 1
         cs = self.context_size
@@ -115,7 +143,72 @@ class LatentCodec:
 
         return run, sched
 
+    @functools.lru_cache(maxsize=8)
+    def _batched_scan_fn(self, latent_shape: Tuple[int, int, int]):
+        """vmapped scan over a leading image-batch dim: one compiled scan
+        decodes B images concurrently (B x M lanes per step), amortizing
+        the per-step dispatch and filling the chip."""
+        run, sched = self._scan_fn(latent_shape)
+        batched = jax.jit(jax.vmap(run, in_axes=(None, None, 0, 0, 0, None)))
+        return batched, sched
+
     # ------------------------------------------------------------------
+
+    def encode_batch(self, pc_params, symbols: np.ndarray, centers: np.ndarray
+                     ) -> Tuple[EncodeResult, ...]:
+        """symbols: (B, C, H, W). Encodes all images in one device pass."""
+        symbols = np.asarray(symbols)
+        b = symbols.shape[0]
+        run, sched = self._batched_scan_fn(tuple(symbols.shape[1:]))
+        streams_dummy = jnp.zeros((b, sched.M, sched.T), jnp.uint32)
+        states_dummy = jnp.full((b, sched.M), rans.RANS_L, jnp.uint32)
+        _, freq_sel, start_sel, _ = run(
+            pc_params, jnp.asarray(centers),
+            jnp.asarray(symbols.reshape(b, -1), jnp.int32),
+            streams_dummy, states_dummy, jnp.int32(1))
+        freq_sel = np.asarray(jax.device_get(freq_sel))    # (B, T, M)
+        start_sel = np.asarray(jax.device_get(start_sel))
+        results = []
+        for i in range(b):
+            lane_streams, final_states = rans.encode_reverse(
+                freq_sel[i], start_sel[i], sched.active)
+            theo = float(np.sum(-np.log2(
+                np.maximum(freq_sel[i][sched.active], 1) / rans.SCALE)))
+            bitstream = _serialize(symbols.shape[1:], lane_streams, final_states,
+                                   symbol_crc(symbols[i]))
+            results.append(EncodeResult(bitstream=bitstream,
+                                        num_bits=len(bitstream) * 8,
+                                        theoretical_bits=theo,
+                                        symbols=symbols[i]))
+        return tuple(results)
+
+    def decode_batch(self, pc_params, bitstreams, centers: np.ndarray
+                     ) -> np.ndarray:
+        """-> (B, C, H, W) symbols, all images decoded in one device pass."""
+        parsed = [_deserialize(bs) for bs in bitstreams]
+        latent_shape = parsed[0][0]
+        assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
+        b = len(parsed)
+        run, sched = self._batched_scan_fn(latent_shape)
+        streams = np.zeros((b, sched.M, sched.T), np.uint32)
+        states = np.zeros((b, sched.M), np.uint32)
+        for i, (_, lane_streams, st, _crc) in enumerate(parsed):
+            states[i] = st
+            for j, words in enumerate(lane_streams):
+                streams[i, j, :len(words)] = words
+        dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int32)
+        syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
+                            jnp.asarray(streams), jnp.asarray(states),
+                            jnp.int32(0))
+        syms = np.asarray(jax.device_get(syms))  # (B, T, M)
+        out = np.zeros((b,) + latent_shape, np.int32).reshape(b, -1)
+        for i in range(b):
+            out[i, sched.sym_flat[sched.active]] = syms[i][sched.active]
+        out = out.reshape((b,) + latent_shape)
+        for i in range(b):
+            if symbol_crc(out[i]) != parsed[i][3]:
+                raise ValueError(f'decode CRC mismatch for image {i}')
+        return out
 
     def encode(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                ) -> EncodeResult:
@@ -135,12 +228,14 @@ class LatentCodec:
             freq_sel, start_sel, sched.active)
         theoretical_bits = float(np.sum(
             -np.log2(np.maximum(freq_sel[sched.active], 1) / rans.SCALE)))
-        bitstream = _serialize(symbols.shape, lane_streams, final_states)
+        bitstream = _serialize(symbols.shape, lane_streams, final_states,
+                               symbol_crc(symbols))
         return EncodeResult(bitstream=bitstream, num_bits=len(bitstream) * 8,
                             theoretical_bits=theoretical_bits, symbols=symbols)
 
-    def decode(self, pc_params, bitstream: bytes, centers: np.ndarray) -> np.ndarray:
-        latent_shape, lane_streams, states = _deserialize(bitstream)
+    def decode(self, pc_params, bitstream: bytes, centers: np.ndarray,
+               verify: bool = True) -> np.ndarray:
+        latent_shape, lane_streams, states, crc = _deserialize(bitstream)
         run, sched = self._scan_fn(latent_shape)
         streams = np.zeros((sched.M, sched.T), np.uint32)
         for j, words in enumerate(lane_streams):
@@ -152,7 +247,12 @@ class LatentCodec:
         syms = np.asarray(jax.device_get(syms))  # (T, M) int8
         out = np.zeros(latent_shape, np.int32).ravel()
         out[sched.sym_flat[sched.active]] = syms[sched.active]
-        return out.reshape(latent_shape)
+        out = out.reshape(latent_shape)
+        if verify and symbol_crc(out) != crc:
+            raise ValueError(
+                'decode CRC mismatch: corrupt stream, or decode ran with a '
+                'different executable (e.g. batch size) than encode')
+        return out
 
     def roundtrip(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                   ) -> EncodeResult:
@@ -168,11 +268,13 @@ class LatentCodec:
 # Bitstream container
 # ---------------------------------------------------------------------------
 
-def _serialize(latent_shape, lane_streams, final_states: np.ndarray) -> bytes:
+def _serialize(latent_shape, lane_streams, final_states: np.ndarray,
+               sym_crc: int = 0) -> bytes:
     buf = io.BytesIO()
     buf.write(MAGIC)
     buf.write(np.asarray([VERSION], np.uint16).tobytes())
     buf.write(np.asarray(latent_shape, np.uint16).tobytes())
+    buf.write(np.asarray([sym_crc], np.uint32).tobytes())
     m = len(lane_streams)
     buf.write(np.asarray([m], np.uint32).tobytes())
     buf.write(final_states.astype(np.uint32).tobytes())
@@ -189,6 +291,7 @@ def _deserialize(data: bytes):
     version = np.frombuffer(buf.read(2), np.uint16)[0]
     assert version == VERSION, version
     latent_shape = tuple(int(v) for v in np.frombuffer(buf.read(6), np.uint16))
+    sym_crc = int(np.frombuffer(buf.read(4), np.uint32)[0])
     m = int(np.frombuffer(buf.read(4), np.uint32)[0])
     states = np.frombuffer(buf.read(4 * m), np.uint32).copy()
     lens = np.frombuffer(buf.read(4 * m), np.uint32)
@@ -196,4 +299,4 @@ def _deserialize(data: bytes):
     for n in lens:
         lane_streams.append(np.frombuffer(buf.read(2 * int(n)), np.uint16)
                             .astype(np.uint32))
-    return latent_shape, lane_streams, states
+    return latent_shape, lane_streams, states, sym_crc

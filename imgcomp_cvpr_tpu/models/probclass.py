@@ -110,14 +110,15 @@ class ResBlock3D(nn.Module):
     kernel_size: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_inner: bool = False):
         feats = x.shape[-1]
         k = self.kernel_size
         kd = filter_depth(k)
-        y = MaskedConv3D(feats, k, first=False, act=True, name='conv1')(x)
-        y = MaskedConv3D(feats, k, first=False, act=False, name='conv2')(y)
+        y1 = MaskedConv3D(feats, k, first=False, act=True, name='conv1')(x)
+        y = MaskedConv3D(feats, k, first=False, act=False, name='conv2')(y1)
         dd, ds = 2 * (kd - 1), k - 1  # depth / per-side spatial crop for 2 convs
-        return y + x[:, dd:, ds:-ds, ds:-ds, :]
+        out = y + x[:, dd:, ds:-ds, ds:-ds, :]
+        return (out, y1) if return_inner else out
 
 
 class ResShallow(nn.Module):
@@ -126,16 +127,22 @@ class ResShallow(nn.Module):
     num_centers: int
 
     @nn.compact
-    def __call__(self, volume: jax.Array) -> jax.Array:
-        """(N, D, H, W) padded float volume -> (N, D', H', W', L) logits."""
+    def __call__(self, volume: jax.Array, return_activations: bool = False):
+        """(N, D, H, W) padded float volume -> (N, D', H', W', L) logits.
+
+        With return_activations, returns a dict of per-layer outputs
+        (used by the activation-cached codec to seed its caches)."""
         cfg = self.config
         k = cfg.kernel_size
         x = volume[..., None]
-        x = MaskedConv3D(cfg.arch_param__k, k, first=True, name='conv0')(x)
-        x = ResBlock3D(k, name='res1')(x)
+        l1 = MaskedConv3D(cfg.arch_param__k, k, first=True, name='conv0')(x)
+        l3, l2 = ResBlock3D(k, name='res1')(l1, return_inner=True)
         # The reference's conv3d default leaves ReLU on the output layer.
-        x = MaskedConv3D(self.num_centers, k, first=False, act=True, name='conv_out')(x)
-        return x
+        logits = MaskedConv3D(self.num_centers, k, first=False, act=True,
+                              name='conv_out')(l3)
+        if return_activations:
+            return {'l1': l1, 'l2': l2, 'l3': l3, 'logits': logits}
+        return logits
 
 
 def get_network_cls(pc_config):

@@ -174,7 +174,9 @@ def test_codec_rejects_corrupt_stream(tiny_pc_setup):
     result = codec.encode(params, symbols, centers)
     corrupted = bytearray(result.bitstream)
     corrupted[-3] ^= 0xFF  # flip bits in some lane words
-    decoded = codec.decode(params, bytes(corrupted), centers)
+    with pytest.raises(ValueError, match='CRC'):
+        codec.decode(params, bytes(corrupted), centers)
+    decoded = codec.decode(params, bytes(corrupted), centers, verify=False)
     assert not np.array_equal(decoded, symbols)
 
 
@@ -222,3 +224,83 @@ def test_native_decode_lane_matches_scalar():
         np.ascontiguousarray(cdf_low, np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     np.testing.assert_array_equal(out, syms)
+
+
+def test_codec_batch_roundtrip(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(4)
+    symbols = rng.randint(0, 6, size=(3,) + latent)
+    results = codec.encode_batch(params, symbols, centers)
+    assert len(results) == 3
+    decoded = codec.decode_batch(params, [r.bitstream for r in results], centers)
+    np.testing.assert_array_equal(decoded, symbols)
+    # batch results identical to single-image results
+    single = codec.encode(params, symbols[0], centers)
+    assert single.bitstream == results[0].bitstream
+
+
+# ---------------- cached codec ----------------
+
+def test_cached_codec_roundtrip(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='cached')
+    rng = np.random.RandomState(5)
+    symbols = rng.randint(0, 6, size=latent)
+    result = codec.roundtrip(params, symbols, centers)
+    assert result.num_bits > 0
+
+
+def test_cached_codec_bits_close_to_direct(tiny_pc_setup):
+    """Cached and direct implementations compute the same math in different
+    op orders — bitstreams differ, but coded sizes must agree closely."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    rng = np.random.RandomState(6)
+    symbols = rng.randint(0, 6, size=latent)
+    r_direct = codec_lib.LatentCodec(pc, cfg, impl='direct').encode(
+        params, symbols, centers)
+    r_cached = codec_lib.LatentCodec(pc, cfg, impl='cached').encode(
+        params, symbols, centers)
+    assert r_cached.theoretical_bits == pytest.approx(
+        r_direct.theoretical_bits, rel=1e-3)
+
+
+def test_cached_codec_batch_roundtrip(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='cached')
+    rng = np.random.RandomState(7)
+    symbols = rng.randint(0, 6, size=(2,) + latent)
+    results = codec.encode_batch(params, symbols, centers)
+    decoded = codec.decode_batch(params, [r.bitstream for r in results], centers)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_skewed_codec_roundtrip(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='skewed')
+    rng = np.random.RandomState(9)
+    symbols = rng.randint(0, 6, size=latent)
+    result = codec.roundtrip(params, symbols, centers)
+    assert result.num_bits > 0
+
+
+def test_skewed_codec_bits_close_to_direct(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    rng = np.random.RandomState(10)
+    symbols = rng.randint(0, 6, size=latent)
+    r_direct = codec_lib.LatentCodec(pc, cfg, impl='direct').encode(
+        params, symbols, centers)
+    r_skewed = codec_lib.LatentCodec(pc, cfg, impl='skewed').encode(
+        params, symbols, centers)
+    assert r_skewed.theoretical_bits == pytest.approx(
+        r_direct.theoretical_bits, rel=5e-3)
+
+
+def test_skewed_codec_batch_roundtrip(tiny_pc_setup):
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='skewed')
+    rng = np.random.RandomState(11)
+    symbols = rng.randint(0, 6, size=(2,) + latent)
+    results = codec.encode_batch(params, symbols, centers)
+    decoded = codec.decode_batch(params, [r.bitstream for r in results], centers)
+    np.testing.assert_array_equal(decoded, symbols)
