@@ -26,6 +26,12 @@ BATCH = 8
 
 def main():
     import jax
+    # Persistent compilation cache: the wavefront-scan executables are large;
+    # recompiling them dominates cold-start time otherwise.
+    import os
+    os.makedirs('.jax_cache', exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', os.path.abspath('.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     from imgcomp_cvpr_tpu.coding import codec as codec_lib
     from imgcomp_cvpr_tpu.models import autoencoder as ae_lib

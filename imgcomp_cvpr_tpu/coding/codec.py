@@ -57,19 +57,20 @@ class EncodeResult(NamedTuple):
 class LatentCodec:
     """Entropy codec for one (pc_config, num_centers) context model.
 
-    impl='cached' (default) uses the activation-cached scan (coding/cached.py,
-    ~44x less compute per step); impl='direct' recomputes full context
-    patches per step (simpler; kept as the cross-check implementation).
+    impl='ring' (default) is the slab/ring-buffer activation-cached scan
+    (coding/ring.py, no gathers in the hot loop); impl='cached' is the
+    gather-based cached scan; impl='direct' recomputes full context patches
+    per step (simplest; the cross-check implementation).
     Streams are only decodable by the implementation (and batch shape) that
     encoded them — the container CRC catches violations.
     """
 
-    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'cached'):
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'ring'):
         self.pc = pc
         self.pc_config = pc_config
         self.context_size = pc_lib.context_size(pc_config)
-        assert impl in ('direct', 'cached', 'skewed'), impl
-        if impl in ('cached', 'skewed') and pc_config.kernel_size != 3:
+        assert impl in ('direct', 'cached', 'ring'), impl
+        if impl in ('cached', 'ring') and pc_config.kernel_size != 3:
             impl = 'direct'  # cached paths are specialized to K=3 geometry
         self.impl = impl
 
@@ -81,9 +82,9 @@ class LatentCodec:
             from . import cached
             return cached.CachedScanBuilder(self.pc, self.pc_config).make_run(
                 latent_shape)
-        if self.impl == 'skewed':
-            from . import skewed
-            return skewed.SkewedScanBuilder(self.pc, self.pc_config).make_run(
+        if self.impl == 'ring':
+            from . import ring
+            return ring.RingScanBuilder(self.pc, self.pc_config).make_run(
                 latent_shape)
         return self._direct_scan_fn(latent_shape)
 

@@ -275,32 +275,43 @@ def test_cached_codec_batch_roundtrip(tiny_pc_setup):
     np.testing.assert_array_equal(decoded, symbols)
 
 
-def test_skewed_codec_roundtrip(tiny_pc_setup):
+# ---------------- ring codec (production path) ----------------
+
+def test_ring_codec_roundtrip(tiny_pc_setup):
     cfg, pc, params, centers, latent = tiny_pc_setup
-    codec = codec_lib.LatentCodec(pc, cfg, impl='skewed')
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
     rng = np.random.RandomState(9)
     symbols = rng.randint(0, 6, size=latent)
     result = codec.roundtrip(params, symbols, centers)
     assert result.num_bits > 0
 
 
-def test_skewed_codec_bits_close_to_direct(tiny_pc_setup):
+def test_ring_codec_bits_close_to_direct(tiny_pc_setup):
     cfg, pc, params, centers, latent = tiny_pc_setup
     rng = np.random.RandomState(10)
     symbols = rng.randint(0, 6, size=latent)
     r_direct = codec_lib.LatentCodec(pc, cfg, impl='direct').encode(
         params, symbols, centers)
-    r_skewed = codec_lib.LatentCodec(pc, cfg, impl='skewed').encode(
+    r_ring = codec_lib.LatentCodec(pc, cfg, impl='ring').encode(
         params, symbols, centers)
-    assert r_skewed.theoretical_bits == pytest.approx(
+    assert r_ring.theoretical_bits == pytest.approx(
         r_direct.theoretical_bits, rel=5e-3)
 
 
-def test_skewed_codec_batch_roundtrip(tiny_pc_setup):
+def test_ring_codec_batch_roundtrip(tiny_pc_setup):
     cfg, pc, params, centers, latent = tiny_pc_setup
-    codec = codec_lib.LatentCodec(pc, cfg, impl='skewed')
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
     rng = np.random.RandomState(11)
     symbols = rng.randint(0, 6, size=(2,) + latent)
     results = codec.encode_batch(params, symbols, centers)
     decoded = codec.decode_batch(params, [r.bitstream for r in results], centers)
     np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_ring_codec_larger_latent(tiny_pc_setup):
+    """Bigger volume exercises ring wraparound (T >> VR)."""
+    cfg, pc, params, centers, _ = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
+    rng = np.random.RandomState(12)
+    symbols = rng.randint(0, 6, size=(6, 12, 16))
+    codec.roundtrip(params, symbols, centers)
