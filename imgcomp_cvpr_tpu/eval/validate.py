@@ -158,8 +158,9 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
                 num_pixels = img.shape[0] * img.shape[1]
                 centers = jax.device_get(
                     eval_model.params['ae']['encoder']['centers'])
+                syms_chw = np.transpose(otp['sym'], (2, 0, 1))  # NHWC -> CHW
                 result = codec.roundtrip(
-                    {'params': eval_model.params['pc']}, otp['sym'], centers)
+                    {'params': eval_model.params['pc']}, syms_chw, centers)
                 bpp_real = result.num_bits / num_pixels
                 bpp_theory = result.theoretical_bits / num_pixels
                 bpp_loss = float(otp['bpp'])
