@@ -153,107 +153,123 @@ class LatentCodec:
         batched = jax.jit(jax.vmap(run, in_axes=(None, None, 0, 0, 0, None)))
         return batched, sched
 
+    @functools.lru_cache(maxsize=8)
+    def _device_helpers(self, latent_shape: Tuple[int, int, int]):
+        """Device-side pre/post-processing around the scan, so only
+        kilobytes cross the (slow) host<->device link: on-device reverse
+        rANS encode, per-image theoretical-bit reduction, symbol packing,
+        and stream padding."""
+        sched = self._scan_fn(latent_shape)[1]
+        active_c = jnp.asarray(sched.active)
+        sym_flat_c = jnp.asarray(sched.sym_flat)
+        n = int(np.prod(latent_shape))
+
+        @jax.jit
+        def encode_streams(freq_sel, start_sel):
+            # (B, T, M) -> emission-order word buffers + counts + states
+            return jax.vmap(lambda f, s: rans.encode_reverse_scan(f, s, active_c)
+                            )(freq_sel, start_sel)
+
+        @jax.jit
+        def theoretical_bits(freq_sel):
+            bits = -jnp.log2(jnp.maximum(freq_sel.astype(jnp.float32), 1.0)
+                             / rans.SCALE)
+            return jnp.sum(jnp.where(active_c[None], bits, 0.0), axis=(1, 2))
+
+        @jax.jit
+        def pack_syms(syms):
+            # (B, T, M) int8 -> (B, n) int8 latent volumes
+            idx = jnp.where(active_c, sym_flat_c, n)
+            def one(sy):
+                return jnp.zeros((n,), jnp.int8).at[idx].set(sy, mode='drop')
+            return jax.vmap(one)(syms)
+
+        @functools.partial(jax.jit, static_argnames=('t',))
+        def pad_streams(packed, t):
+            b, m, wmax = packed.shape
+            return jnp.zeros((b, m, t), jnp.uint32).at[:, :, :wmax].set(packed)
+
+        return encode_streams, theoretical_bits, pack_syms, pad_streams
+
     # ------------------------------------------------------------------
 
     def encode_batch(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                      ) -> Tuple[EncodeResult, ...]:
-        """symbols: (B, C, H, W). Encodes all images in one device pass."""
+        """symbols: (B, C, H, W). Encodes all images in one device pass;
+        the reverse rANS encode also runs on device, so only the final
+        streams (~kilobytes) cross the host link."""
         symbols = np.asarray(symbols)
         b = symbols.shape[0]
-        run, sched = self._batched_scan_fn(tuple(symbols.shape[1:]))
+        latent_shape = tuple(symbols.shape[1:])
+        run, sched = self._batched_scan_fn(latent_shape)
+        encode_streams, theoretical_bits, _, _ = self._device_helpers(latent_shape)
         streams_dummy = jnp.zeros((b, sched.M, sched.T), jnp.uint32)
         states_dummy = jnp.full((b, sched.M), rans.RANS_L, jnp.uint32)
         _, freq_sel, start_sel, _ = run(
             pc_params, jnp.asarray(centers),
             jnp.asarray(symbols.reshape(b, -1), jnp.int32),
             streams_dummy, states_dummy, jnp.int32(1))
-        freq_sel = np.asarray(jax.device_get(freq_sel))    # (B, T, M)
-        start_sel = np.asarray(jax.device_get(start_sel))
+        buf, counts, states = encode_streams(freq_sel, start_sel)
+        theo = np.asarray(jax.device_get(theoretical_bits(freq_sel)))
+        counts = np.asarray(jax.device_get(counts))        # (B, M)
+        states = np.asarray(jax.device_get(states))
+        wmax = int(counts.max()) if counts.size else 0
+        wmax = max(64, -(-wmax // 64) * 64)                # bucket to bound recompiles
+        wmax = min(wmax, sched.T)
+        words = np.asarray(jax.device_get(buf[:, :, :wmax]))
         results = []
         for i in range(b):
-            lane_streams, final_states = rans.encode_reverse(
-                freq_sel[i], start_sel[i], sched.active)
-            theo = float(np.sum(-np.log2(
-                np.maximum(freq_sel[i][sched.active], 1) / rans.SCALE)))
-            bitstream = _serialize(symbols.shape[1:], lane_streams, final_states,
+            lane_streams = [words[i, j, :counts[i, j]][::-1].astype(np.uint32)
+                            for j in range(sched.M)]
+            bitstream = _serialize(latent_shape, lane_streams, states[i],
                                    symbol_crc(symbols[i]))
             results.append(EncodeResult(bitstream=bitstream,
                                         num_bits=len(bitstream) * 8,
-                                        theoretical_bits=theo,
+                                        theoretical_bits=float(theo[i]),
                                         symbols=symbols[i]))
         return tuple(results)
 
-    def decode_batch(self, pc_params, bitstreams, centers: np.ndarray
-                     ) -> np.ndarray:
+    def decode_batch(self, pc_params, bitstreams, centers: np.ndarray,
+                     verify: bool = True) -> np.ndarray:
         """-> (B, C, H, W) symbols, all images decoded in one device pass."""
         parsed = [_deserialize(bs) for bs in bitstreams]
         latent_shape = parsed[0][0]
         assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
         b = len(parsed)
         run, sched = self._batched_scan_fn(latent_shape)
-        streams = np.zeros((b, sched.M, sched.T), np.uint32)
+        _, _, pack_syms, pad_streams = self._device_helpers(latent_shape)
+        wmax = max([1] + [len(w) for p in parsed for w in p[1]])
+        wmax = min(max(64, -(-wmax // 64) * 64), sched.T)
+        packed = np.zeros((b, sched.M, wmax), np.uint32)
         states = np.zeros((b, sched.M), np.uint32)
         for i, (_, lane_streams, st, _crc) in enumerate(parsed):
             states[i] = st
             for j, words in enumerate(lane_streams):
-                streams[i, j, :len(words)] = words
+                packed[i, j, :len(words)] = words
+        streams = pad_streams(jnp.asarray(packed), t=sched.T)
         dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int32)
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
-                            jnp.asarray(streams), jnp.asarray(states),
-                            jnp.int32(0))
-        syms = np.asarray(jax.device_get(syms))  # (B, T, M)
-        out = np.zeros((b,) + latent_shape, np.int32).reshape(b, -1)
-        for i in range(b):
-            out[i, sched.sym_flat[sched.active]] = syms[i][sched.active]
+                            streams, jnp.asarray(states), jnp.int32(0))
+        out = np.asarray(jax.device_get(pack_syms(syms)), np.int32)  # (B, n)
         out = out.reshape((b,) + latent_shape)
-        for i in range(b):
-            if symbol_crc(out[i]) != parsed[i][3]:
-                raise ValueError(f'decode CRC mismatch for image {i}')
+        if verify:
+            for i in range(b):
+                if symbol_crc(out[i]) != parsed[i][3]:
+                    raise ValueError(
+                        f'decode CRC mismatch for image {i}: corrupt stream, '
+                        'or decode ran with a different executable than encode')
         return out
 
     def encode(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                ) -> EncodeResult:
-        """symbols: (C, H, W) int; centers: (L,) float32."""
-        symbols = np.asarray(symbols)
-        run, sched = self._scan_fn(tuple(symbols.shape))
-        streams_dummy = jnp.zeros((sched.M, sched.T), jnp.uint32)
-        states_dummy = jnp.full((sched.M,), rans.RANS_L, jnp.uint32)
-        syms, freq_sel, start_sel, _ = run(
-            pc_params, jnp.asarray(centers),
-            jnp.asarray(symbols.ravel(), jnp.int32),
-            streams_dummy, states_dummy, jnp.int32(1))
-        freq_sel = np.asarray(jax.device_get(freq_sel))
-        start_sel = np.asarray(jax.device_get(start_sel))
-
-        lane_streams, final_states = rans.encode_reverse(
-            freq_sel, start_sel, sched.active)
-        theoretical_bits = float(np.sum(
-            -np.log2(np.maximum(freq_sel[sched.active], 1) / rans.SCALE)))
-        bitstream = _serialize(symbols.shape, lane_streams, final_states,
-                               symbol_crc(symbols))
-        return EncodeResult(bitstream=bitstream, num_bits=len(bitstream) * 8,
-                            theoretical_bits=theoretical_bits, symbols=symbols)
+        """symbols: (C, H, W) int; centers: (L,) float32. Routes through
+        the B=1 batched path (one executable family for all callers)."""
+        return self.encode_batch(pc_params, np.asarray(symbols)[None], centers)[0]
 
     def decode(self, pc_params, bitstream: bytes, centers: np.ndarray,
                verify: bool = True) -> np.ndarray:
-        latent_shape, lane_streams, states, crc = _deserialize(bitstream)
-        run, sched = self._scan_fn(latent_shape)
-        streams = np.zeros((sched.M, sched.T), np.uint32)
-        for j, words in enumerate(lane_streams):
-            streams[j, :len(words)] = words
-        dummy_true = jnp.zeros((int(np.prod(latent_shape)),), jnp.int32)
-        syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
-                            jnp.asarray(streams), jnp.asarray(states),
-                            jnp.int32(0))
-        syms = np.asarray(jax.device_get(syms))  # (T, M) int8
-        out = np.zeros(latent_shape, np.int32).ravel()
-        out[sched.sym_flat[sched.active]] = syms[sched.active]
-        out = out.reshape(latent_shape)
-        if verify and symbol_crc(out) != crc:
-            raise ValueError(
-                'decode CRC mismatch: corrupt stream, or decode ran with a '
-                'different executable (e.g. batch size) than encode')
-        return out
+        return self.decode_batch(pc_params, [bitstream], centers,
+                                 verify=verify)[0]
 
     def roundtrip(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                   ) -> EncodeResult:

@@ -156,6 +156,40 @@ def encode_reverse(sym_sel_freq: np.ndarray, sym_sel_start: np.ndarray,
     return streams, out_states
 
 
+def encode_reverse_scan(freq_sel: jax.Array, start_sel: jax.Array,
+                        active: jax.Array):
+    """On-device reverse interleaved encode (jnp, reversed lax.scan).
+
+    freq_sel/start_sel: (T, M) uint32, active: (T, M) bool — the tables the
+    forward codec scan produced, consumed WITHOUT a host roundtrip (the
+    host<->device tunnel is far slower than the scan itself). Returns
+    (words (M, T) uint32 in *emission* order, counts (M,), states (M,));
+    per-lane decode-order streams are words[j, :counts[j]][::-1].
+    Bit-identical to the C++/numpy encoders (tested)."""
+    T, M = freq_sel.shape
+
+    def step(carry, x):
+        states, wptr, buf = carry
+        f, s, a = x
+        f = jnp.maximum(f, jnp.uint32(1))
+        emit = a & (states >= (f << WORD_BITS))
+        word = states & jnp.uint32(WORD_MASK)
+        idx = jnp.where(emit, wptr, T)
+        buf = buf.at[jnp.arange(M), idx].set(word, mode='drop')
+        states = jnp.where(emit, states >> WORD_BITS, states)
+        x_new = ((states // f) << SCALE_BITS) + (states % f) + s
+        states = jnp.where(a, x_new, states)
+        wptr = wptr + emit.astype(jnp.int32)
+        return (states, wptr, buf), ()
+
+    init = (jnp.full((M,), RANS_L, jnp.uint32),
+            jnp.zeros((M,), jnp.int32),
+            jnp.zeros((M, T), jnp.uint32))
+    (states, counts, buf), _ = jax.lax.scan(
+        step, init, (freq_sel, start_sel, active), reverse=True)
+    return buf, counts, states
+
+
 # ---------------------------------------------------------------------------
 # In-scan decode step (jnp) — used inside the wavefront scan
 # ---------------------------------------------------------------------------

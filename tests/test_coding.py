@@ -315,3 +315,26 @@ def test_ring_codec_larger_latent(tiny_pc_setup):
     rng = np.random.RandomState(12)
     symbols = rng.randint(0, 6, size=(6, 12, 16))
     codec.roundtrip(params, symbols, centers)
+
+
+def test_device_encoder_matches_cpp(tiny_pc_setup):
+    """On-device reverse rANS (rans.encode_reverse_scan) must produce the
+    same streams/states as the C++/numpy host encoders."""
+    rng = np.random.RandomState(21)
+    T, M = 50, 7
+    freq = np.zeros((T, M), np.uint32)
+    start = np.zeros((T, M), np.uint32)
+    active = rng.rand(T, M) < 0.75
+    for j in range(M):
+        n = active[:, j].sum()
+        _, f, c = _random_tables(rng, n)
+        s = np.array([rng.choice(6, p=ff / ff.sum()) for ff in f])
+        freq[active[:, j], j] = f[np.arange(n), s]
+        start[active[:, j], j] = c[np.arange(n), s]
+    streams_ref, states_ref = rans.encode_reverse(freq, start, active)
+    buf, counts, states = jax.device_get(rans.encode_reverse_scan(
+        jnp.asarray(freq), jnp.asarray(start), jnp.asarray(active)))
+    np.testing.assert_array_equal(states, states_ref)
+    for j in range(M):
+        words = buf[j, :counts[j]][::-1]
+        np.testing.assert_array_equal(words, streams_ref[j])
