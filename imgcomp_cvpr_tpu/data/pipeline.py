@@ -73,10 +73,67 @@ class SyntheticDataset(Dataset):
         return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
+class RecordsDataset(Dataset):
+    """TFRecord shards of encoded images — the reference's primary training
+    format (ref: inputpipeline.py:42-80; 'imgnet_train' = 1,281,167 images).
+    Records are indexed once (offsets per shard) so loads are random-access;
+    decoding uses PIL on the raw image bytes. Requires tensorflow for the
+    record reader only."""
+
+    KNOWN = {'imgnet_train': ('train-*.tfrecord', 1_281_167),
+             'imgnet_test': ('val-*.tfrecord', 50_000)}
+
+    def __init__(self, shard_paths: Sequence[str], name: str,
+                 feature_key: str = 'image/encoded'):
+        assert shard_paths, name
+        self.name = name
+        self.feature_key = feature_key
+        self._index: List[Tuple[str, int]] = []  # (shard, record ordinal)
+        import tensorflow as tf  # reader only
+        self._tf = tf
+        for shard in shard_paths:
+            count = sum(1 for _ in tf.data.TFRecordDataset(shard))
+            self._index.extend((shard, i) for i in range(count))
+        self._shards = list(shard_paths)
+        self._cache_shard: Optional[str] = None
+        self._cache_records: List[bytes] = []
+        self.paths = [f'{s}#{i}' for s, i in self._index]
+
+    def load(self, idx: int) -> np.ndarray:
+        import io
+        from PIL import Image
+        shard, ordinal = self._index[idx]
+        if shard != self._cache_shard:
+            tf = self._tf
+            self._cache_records = [
+                r.numpy() for r in tf.data.TFRecordDataset(shard)]
+            self._cache_shard = shard
+        raw = self._cache_records[ordinal]
+        example = self._tf.train.Example()
+        example.ParseFromString(raw)
+        feats = example.features.feature
+        key = self.feature_key if self.feature_key in feats else next(iter(feats))
+        img_bytes = feats[key].bytes_list.value[0]
+        with Image.open(io.BytesIO(img_bytes)) as im:
+            return np.asarray(im.convert('RGB'), np.uint8)
+
+
 def get_dataset(spec: str) -> Dataset:
     if spec.startswith('synthetic'):
         n = int(spec.split(':')[1]) if ':' in spec else 64
         return SyntheticDataset(num_images=n)
+    if spec in RecordsDataset.KNOWN:
+        pattern, _ = RecordsDataset.KNOWN[spec]
+        shards = sorted(glob_lib.glob(os.path.join(constants.RECORDS_ROOT, pattern)))
+        if shards:
+            return RecordsDataset(shards, name=spec)
+        raise ValueError(
+            f'{spec!r}: no TFRecord shards matching {pattern} under '
+            f'$RECORDS_ROOT={constants.RECORDS_ROOT}')
+    if spec.endswith('.tfrecord') or '*.tfrecord' in spec:
+        shards = sorted(glob_lib.glob(spec))
+        if shards:
+            return RecordsDataset(shards, name=os.path.basename(spec))
     candidates = [spec, os.path.join(constants.RECORDS_ROOT, spec)]
     for cand in candidates:
         if os.path.isdir(cand):

@@ -35,10 +35,11 @@ from .val_files import MeasuresWriter, ValidationDirs
 
 class OutputFlags:
     def __init__(self, save_ours: bool = False, ckpt_step: int = -1,
-                 real_bpp: bool = False):
+                 real_bpp: bool = False, eval_batch: int = 8):
         self.save_ours = save_ours
         self.ckpt_step = ckpt_step
         self.real_bpp = real_bpp
+        self.eval_batch = eval_batch
 
 
 class EvalModel:
@@ -56,10 +57,10 @@ class EvalModel:
         self.batch_stats = jax.device_put(batch_stats)
 
     @functools.lru_cache(maxsize=32)
-    def _fetch_fn(self, h: int, w: int):
+    def _fetch_fn(self, b: int, h: int, w: int):
         @jax.jit
         def fetch(params, batch_stats, x_uint8):
-            x = x_uint8[None].astype(jnp.float32)  # (1, H, W, 3)
+            x = x_uint8.astype(jnp.float32)        # (B, H, W, 3)
             ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
             enc = self.ae.apply(ae_vars, x, False, method='encode')
             x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
@@ -68,23 +69,30 @@ class EvalModel:
             bc = self.pc.bitcost({'params': params['pc']}, enc.qbar, enc.symbols,
                                  pad_value=pc_lib.auto_pad_value(self.pc_config, centers))
             x_out_uint8 = x_out.astype(jnp.uint8)
+            x_out_f = x_out_uint8.astype(jnp.float32)
+            num_pixels = jnp.float32(h * w)
             return {
-                'bpp': bits_lib.bitcost_to_bpp(bc, x),
-                'ms-ssim': msssim_lib.msssim_eval(
-                    x_uint8[None].astype(jnp.float32),
-                    x_out_uint8.astype(jnp.float32)),
-                'psnr': metrics_lib.psnr_per_image(
-                    x, x_out_uint8.astype(jnp.float32), cast_to_int=True)[0],
-                'sym': enc.symbols[0],
+                'bpp': jnp.sum(bc, axis=(1, 2, 3)) / num_pixels,
+                'ms-ssim': jax.vmap(lambda a, b_: msssim_lib.msssim_eval(
+                    a[None], b_[None]))(x, x_out_f),
+                'psnr': metrics_lib.psnr_per_image(x, x_out_f, cast_to_int=True),
+                'sym': enc.symbols,
                 'img_out': x_out_uint8,
             }
         return fetch
 
+    def fetch_many(self, imgs_hwc_uint8) -> 'list[Dict[str, np.ndarray]]':
+        """Run a batch of same-shaped padded images in one device pass
+        (the reference evaluates one image per sess.run, ref val.py:158);
+        returns one dict per image."""
+        batch = np.stack(imgs_hwc_uint8)
+        b, h, w = batch.shape[:3]
+        out = jax.device_get(self._fetch_fn(b, h, w)(
+            self.params, self.batch_stats, jnp.asarray(batch)))
+        return [{k: v[i] for k, v in out.items()} for i in range(b)]
+
     def fetch(self, img_hwc_uint8: np.ndarray) -> Dict[str, np.ndarray]:
-        h, w = img_hwc_uint8.shape[:2]
-        out = self._fetch_fn(h, w)(self.params, self.batch_stats,
-                                   jnp.asarray(img_hwc_uint8))
-        return jax.device_get(out)
+        return self.fetch_many([img_hwc_uint8])[0]
 
 
 def build_eval_model_from_log_dir(log_dir: str) -> EvalModel:
@@ -149,33 +157,63 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
 
         agg = ValuesAggregator('bpp', 'ms-ssim', 'psnr')
         measures_writer = MeasuresWriter(val_dirs.out_dir)
-        for img_i, (img_name, img) in enumerate(
-                images_iterator.iter_imgs(pad=ae_lib.SUBSAMPLING_FACTOR)):
-            otp = eval_model.fetch(img)
-            measures_writer.append(img_name, {k: float(otp[k])
-                                              for k in ('bpp', 'ms-ssim', 'psnr')})
-            if flags.real_bpp:
-                num_pixels = img.shape[0] * img.shape[1]
-                centers = jax.device_get(
-                    eval_model.params['ae']['encoder']['centers'])
-                syms_chw = np.transpose(otp['sym'], (2, 0, 1))  # NHWC -> CHW
-                result = codec.roundtrip(
-                    {'params': eval_model.params['pc']}, syms_chw, centers)
-                bpp_real = result.num_bits / num_pixels
-                bpp_theory = result.theoretical_bits / num_pixels
-                bpp_loss = float(otp['bpp'])
-                print(f'BPP: Real         {bpp_real:.5f}\n'
-                      f'     Theoretical: {bpp_theory:.5f} '
-                      f'[{bpp_theory / bpp_real * 100:5.1f}% of real]\n'
-                      f'     Loss:        {bpp_loss:.5f} '
-                      f'[{bpp_loss / bpp_real * 100:5.1f}% of real]')
-            if flags.save_ours and ckpt_itr == last_itr:
-                save_img(img_name, otp['img_out'], val_dirs)
-            agg.update(otp)
-            print(f'{img_i: 10d} {img_name} | Mean: {agg.averages_str()}',
-                  flush=True)
+        img_counter = [0]
+
+        def process(names, imgs):
+            """One batched device pass over consecutive same-shaped images
+            (the reference runs one sess.run per image, ref val.py:158)."""
+            outs = eval_model.fetch_many(imgs)
+            for img_name, img, otp in zip(names, imgs, outs):
+                measures_writer.append(img_name, {k: float(otp[k])
+                                                  for k in ('bpp', 'ms-ssim', 'psnr')})
+                if flags.real_bpp:
+                    num_pixels = img.shape[0] * img.shape[1]
+                    centers = jax.device_get(
+                        eval_model.params['ae']['encoder']['centers'])
+                    syms_chw = np.transpose(otp['sym'], (2, 0, 1))  # NHWC -> CHW
+                    result = codec.roundtrip(
+                        {'params': eval_model.params['pc']}, syms_chw, centers)
+                    bpp_real = result.num_bits / num_pixels
+                    bpp_theory = result.theoretical_bits / num_pixels
+                    bpp_loss = float(otp['bpp'])
+                    print(f'BPP: Real         {bpp_real:.5f}\n'
+                          f'     Theoretical: {bpp_theory:.5f} '
+                          f'[{bpp_theory / bpp_real * 100:5.1f}% of real]\n'
+                          f'     Loss:        {bpp_loss:.5f} '
+                          f'[{bpp_loss / bpp_real * 100:5.1f}% of real]')
+                if flags.save_ours and ckpt_itr == last_itr:
+                    save_img(img_name, otp['img_out'], val_dirs)
+                agg.update(otp)
+                print(f'{img_counter[0]: 10d} {img_name} | '
+                      f'Mean: {agg.averages_str()}', flush=True)
+                img_counter[0] += 1
+
+        buf_names, buf_imgs = [], []
+        for img_name, img in images_iterator.iter_imgs(
+                pad=ae_lib.SUBSAMPLING_FACTOR):
+            if buf_imgs and (img.shape != buf_imgs[0].shape
+                             or len(buf_imgs) >= flags.eval_batch):
+                process(buf_names, buf_imgs)
+                buf_names, buf_imgs = [], []
+            buf_names.append(img_name)
+            buf_imgs.append(img)
+        if buf_imgs:
+            process(buf_names, buf_imgs)
         measures_writer.close()
         avgs = agg.averages()
+        # Distance to BPG at the mean operating point (ref: val.py:198-206).
+        try:
+            from . import codec_distance as cd
+            d_ms = cd.CodecDistance(images_iterator.dataset_name, 'bpg',
+                                    'ms-ssim').distance(avgs['bpp'],
+                                                        avgs['ms-ssim'])
+            d_psnr = cd.CodecDistance(images_iterator.dataset_name, 'bpg',
+                                      'psnr').distance(avgs['bpp'], avgs['psnr'])
+            print(f'Distance to BPG: {d_ms:.3f} ms-ssim // {d_psnr:.3f} psnr')
+            avgs['distance_BPG_MS-SSIM'] = d_ms
+            avgs['distance_BPG_PSNR'] = d_psnr
+        except Exception as e:
+            print(f'*** Distance to BPG not available: {e}')
         summary_path = path.join(val_dirs.out_dir, f'summary_{ckpt_itr}.json')
         import json
         with open(summary_path, 'w') as f:

@@ -39,6 +39,7 @@ class TrainFlags:
 def train(ae_config_spec: str, pc_config_spec: str,
           dataset_train: str = 'synthetic:64',
           dataset_test: str = 'synthetic:8',
+          dataset_codec_distance: str = 'testset',
           log_dir_root: str = 'logs',
           restore_manager: Optional[checkpoint_lib.RestoreManager] = None,
           flags: TrainFlags = TrainFlags(),
@@ -92,6 +93,23 @@ def train(ae_config_spec: str, pc_config_spec: str,
     test_logger = logger_lib.MetricsLogger(log_dir, 'test')
     timer = logger_lib.Timer(flags.log_interval_train, ae_config.batch_size)
 
+    # Distance-to-BPG monitor on the test split (ref: train.py:133-143);
+    # NaN when no measured codec curves are available.
+    try:
+        from ..eval import codec_distance as cd
+        codec_dist = cd.CodecDistance(dataset_codec_distance, 'bpg', 'ms-ssim')
+    except Exception as e:
+        print(f'Cannot compute CodecDistance: {e}')
+        codec_dist = None
+
+    def d_bpg(bpp: float, ms_ssim: float) -> float:
+        if codec_dist is None:
+            return float('nan')
+        try:
+            return codec_dist.distance(bpp, ms_ssim)
+        except ValueError:
+            return float('nan')
+
     def put(batch: np.ndarray):
         if mesh is not None:
             batch = mesh_lib.pad_batch_to_multiple(batch, len(mesh.devices))
@@ -121,7 +139,11 @@ def train(ae_config_spec: str, pc_config_spec: str,
             if flags.log_interval_test > 0 and itr % flags.log_interval_test == 0:
                 test_batch = put(ip_test.get_batch())
                 test_out = jax.device_get(trainer.eval_step(state, test_batch))
-                test_logger.log(itr, {k: float(v) for k, v in test_out.items()})
+                scalars = {k: float(v) for k, v in test_out.items()}
+                scalars['d_BPG'] = d_bpg(scalars['bpp'],
+                                         scalars.get('ms_ssim_eval',
+                                                     scalars.get('ms_ssim', 0.0)))
+                test_logger.log(itr, scalars)
     finally:
         ip_train.stop()
         ip_test.stop()

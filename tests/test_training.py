@@ -154,3 +154,24 @@ def test_restore_with_skip(tmp_path, tiny_trainer):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     # step kept from fresh init
     assert int(merged.step) == 0
+
+
+def test_records_dataset_roundtrip(tmp_path):
+    tf = pytest.importorskip('tensorflow')
+    from PIL import Image
+    import io as io_mod
+    shard = str(tmp_path / 'train-00000.tfrecord')
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(24, 24, 3) * 255).astype(np.uint8) for _ in range(3)]
+    with tf.io.TFRecordWriter(shard) as w:
+        for img in imgs:
+            buf = io_mod.BytesIO()
+            Image.fromarray(img).save(buf, 'PNG')
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                'image/encoded': tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[buf.getvalue()]))}))
+            w.write(ex.SerializeToString())
+    ds = pipeline.get_dataset(str(tmp_path / '*.tfrecord'))
+    assert ds.num_images == 3
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(ds.load(i), img)
