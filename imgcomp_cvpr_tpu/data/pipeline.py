@@ -56,8 +56,14 @@ class SyntheticDataset(Dataset):
         self.paths = [f'synthetic://{i}' for i in range(num_images)]
         self.name = name
         self._hw = hw
+        self._cache: dict = {}
 
     def load(self, idx: int) -> np.ndarray:
+        if idx not in self._cache and len(self._cache) < 512:
+            self._cache[idx] = self._generate(idx)
+        return self._cache.get(idx, self._generate(idx))
+
+    def _generate(self, idx: int) -> np.ndarray:
         h, w = self._hw
         rng = np.random.RandomState(idx)
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -176,7 +182,8 @@ def random_crop_and_flip(img: np.ndarray, crop_hw: Tuple[int, int],
 
 
 class InputPipeline:
-    """Yields (N, H, W, 3) float32 batches in [0, 255]."""
+    """Yields (N, H, W, 3) uint8 batches (the device casts to float32 —
+    4x less host->device transfer than shipping floats)."""
 
     def __init__(self, dataset: Dataset, crop_size: Tuple[int, int],
                  batch_size: int, shuffle: bool = True,
@@ -226,7 +233,7 @@ class InputPipeline:
                 pos += 1
                 buf.extend(random_crop_and_flip(
                     img, self.crop_size, rng, self.num_crops_per_img))
-            batch = np.stack(buf[:self.batch_size]).astype(np.float32)
+            batch = np.stack(buf[:self.batch_size])  # uint8
             buf = buf[self.batch_size:]
             while not self._stop.is_set():
                 try:

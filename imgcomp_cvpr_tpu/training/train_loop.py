@@ -123,7 +123,7 @@ def train(ae_config_spec: str, pc_config_spec: str,
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
             batch = put(ip_train.get_batch())
             state, comps = trainer.train_step(state, batch)
-            itr = int(state.step)
+            itr += 1  # tracked locally; int(state.step) would sync every step
             if flags.profile_steps and itr == 10 + flags.profile_steps:
                 jax.profiler.stop_trace()
 

@@ -104,6 +104,7 @@ class Trainer:
         return enc, x_out, bc, new_stats
 
     def _loss_fn(self, params, batch_stats, x):
+        x = x.astype(jnp.float32)  # batches arrive uint8 (transfer-friendly)
         enc, x_out, bc, new_stats = self._forward(params, batch_stats, x,
                                                   train=True, mutable=True)
         d_loss, d_comps = distortions_lib.compute(self.ae_config, x, x_out,
@@ -130,6 +131,7 @@ class Trainer:
     def _eval_step(self, state: TrainState, batch: jax.Array) -> Dict[str, jax.Array]:
         """Test-mode forward (is_training=False, decode(qhard), ref:
         train.py:115-127)."""
+        batch = batch.astype(jnp.float32)
         params, batch_stats = state.params, state.batch_stats
         ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
         enc = self.ae.apply(ae_vars, batch, False, method='encode')

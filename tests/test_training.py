@@ -89,7 +89,7 @@ def test_synthetic_pipeline_batches():
     b1 = next(it)
     b2 = next(it)
     ip.stop()
-    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.float32
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.uint8
     assert 0 <= b1.min() and b1.max() <= 255
     assert not np.array_equal(b1, b2)
 
