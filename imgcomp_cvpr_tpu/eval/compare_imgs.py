@@ -55,3 +55,25 @@ def _load(img) -> np.ndarray:
         with Image.open(img) as im:
             return np.asarray(im.convert('RGB'), np.uint8)
     return np.asarray(img)
+
+
+def main():
+    """CLI: compare two image files (ref: compare_imgs.py main)."""
+    import argparse
+    import time
+    p = argparse.ArgumentParser()
+    p.add_argument('img1')
+    p.add_argument('img2')
+    p.add_argument('--timing', action='store_true',
+                   help='Also print per-metric wall time.')
+    flags = p.parse_args()
+    a, b = _load(flags.img1), _load(flags.img2)
+    for name, fn in [('ssim', ssim), ('ms-ssim', msssim), ('psnr', psnr)]:
+        t0 = time.time()
+        v = fn(a, b)
+        suffix = f'  ({time.time() - t0:.3f}s)' if flags.timing else ''
+        print(f'{name}: {v:.6f}{suffix}')
+
+
+if __name__ == '__main__':
+    main()
