@@ -59,9 +59,12 @@ class SyntheticDataset(Dataset):
         self._cache: dict = {}
 
     def load(self, idx: int) -> np.ndarray:
-        if idx not in self._cache and len(self._cache) < 512:
-            self._cache[idx] = self._generate(idx)
-        return self._cache.get(idx, self._generate(idx))
+        img = self._cache.get(idx)
+        if img is None:
+            img = self._generate(idx)
+            if len(self._cache) < 512:
+                self._cache[idx] = img
+        return img
 
     def _generate(self, idx: int) -> np.ndarray:
         h, w = self._hw
