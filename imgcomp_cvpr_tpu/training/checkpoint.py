@@ -43,7 +43,7 @@ def _flat_names(tree: Any) -> List[str]:
 class Saver:
     def __init__(self, ckpt_dir: str, max_to_keep: int = 1,
                  keep_every_n_hours: float = 1.0):
-        self.ckpt_dir = ckpt_dir
+        self.ckpt_dir = os.path.abspath(ckpt_dir)  # orbax requires absolute
         self.max_to_keep = max_to_keep
         self.keep_every_n_hours = keep_every_n_hours
         os.makedirs(ckpt_dir, exist_ok=True)
