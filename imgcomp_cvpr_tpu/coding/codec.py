@@ -40,7 +40,7 @@ from . import rans
 from . import wavefront
 
 MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
-VERSION = 2
+VERSION = 3  # interleaved single-stream rANS (R persistent lanes)
 
 
 def symbol_crc(symbols: np.ndarray) -> int:
@@ -105,14 +105,14 @@ class LatentCodec:
         }
 
         @jax.jit
-        def run(pc_params, centers, true_syms_flat, streams, init_states, mode):
+        def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
             """mode: 0 = decode, 1 = encode (teacher-forced). Same executable
             for both — that is the bit-exactness guarantee."""
             pad_value = pc_lib.auto_pad_value(self.pc_config, centers)
             volume = jnp.full((flat_size,), pad_value, jnp.float32)
 
             def step(carry, x):
-                volume, states, ptrs = carry
+                volume, states, gptr = carry
                 idx = x['base'][:, None] + ctx_offsets[None, :]      # (M, n_ctx)
                 patches = jnp.take(volume, idx, axis=0)
                 patches = patches.reshape(-1, ctx_d, cs, cs)
@@ -121,8 +121,8 @@ class LatentCodec:
                 probs = jax.nn.softmax(logits, axis=-1)
                 freq, cdf_low = rans.quantize_cdf(probs)
 
-                sym_dec, states, ptrs = rans.decode_step(
-                    states, ptrs, streams, freq, cdf_low, x['active'])
+                sym_dec, states, gptr = rans.decode_step_interleaved(
+                    states, gptr, stream, freq, cdf_low, x['active'])
                 sym_true = jnp.take(true_syms_flat, x['sym_idx'])
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
@@ -134,13 +134,13 @@ class LatentCodec:
                 sel = sym[:, None].astype(jnp.int32)
                 freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
                 start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
-                return (volume, states, ptrs), (sym.astype(jnp.int8), freq_sel,
+                return (volume, states, gptr), (sym.astype(jnp.int8), freq_sel,
                                                 start_sel)
 
-            init = (volume, init_states, jnp.zeros((sched.M,), jnp.int32))
-            (_, _, final_ptrs), ys = jax.lax.scan(step, init, xs)
+            init = (volume, init_states, jnp.zeros((), jnp.int32))
+            (_, _, final_gptr), ys = jax.lax.scan(step, init, xs)
             syms, freq_sel, start_sel = ys
-            return syms, freq_sel, start_sel, final_ptrs
+            return syms, freq_sel, start_sel, final_gptr
 
         return run, sched
 
@@ -166,9 +166,10 @@ class LatentCodec:
 
         @jax.jit
         def encode_streams(freq_sel, start_sel):
-            # (B, T, M) -> emission-order word buffers + counts + states
-            return jax.vmap(lambda f, s: rans.encode_reverse_scan(f, s, active_c)
-                            )(freq_sel, start_sel)
+            # (B, T, M) -> reversed word buffer + count + (R,) states
+            return jax.vmap(
+                lambda f, s: rans.encode_reverse_scan_interleaved(f, s, active_c)
+            )(freq_sel, start_sel)
 
         @jax.jit
         def theoretical_bits(freq_sel):
@@ -186,8 +187,8 @@ class LatentCodec:
 
         @functools.partial(jax.jit, static_argnames=('t',))
         def pad_streams(packed, t):
-            b, m, wmax = packed.shape
-            return jnp.zeros((b, m, t), jnp.uint32).at[:, :, :wmax].set(packed)
+            b, wmax = packed.shape
+            return jnp.zeros((b, t), jnp.uint32).at[:, :wmax].set(packed)
 
         return encode_streams, theoretical_bits, pack_syms, pad_streams
 
@@ -203,25 +204,26 @@ class LatentCodec:
         latent_shape = tuple(symbols.shape[1:])
         run, sched = self._batched_scan_fn(latent_shape)
         encode_streams, theoretical_bits, _, _ = self._device_helpers(latent_shape)
-        streams_dummy = jnp.zeros((b, sched.M, sched.T), jnp.uint32)
-        states_dummy = jnp.full((b, sched.M), rans.RANS_L, jnp.uint32)
+        r = rans.R_LANES if sched.M >= rans.R_LANES else sched.M
+        w_buf = sched.T * sched.M
+        streams_dummy = jnp.zeros((b, w_buf), jnp.uint32)
+        states_dummy = jnp.full((b, r), rans.RANS_L, jnp.uint32)
         _, freq_sel, start_sel, _ = run(
             pc_params, jnp.asarray(centers),
             jnp.asarray(symbols.reshape(b, -1), jnp.int32),
             streams_dummy, states_dummy, jnp.int32(1))
-        buf, counts, states = encode_streams(freq_sel, start_sel)
+        buf, n_words, states = encode_streams(freq_sel, start_sel)
         theo = np.asarray(jax.device_get(theoretical_bits(freq_sel)))
-        counts = np.asarray(jax.device_get(counts))        # (B, M)
-        states = np.asarray(jax.device_get(states))
-        wmax = int(counts.max()) if counts.size else 0
+        n_words = np.asarray(jax.device_get(n_words))      # (B,)
+        states = np.asarray(jax.device_get(states))        # (B, R)
+        wmax = int(n_words.max()) if n_words.size else 0
         wmax = max(64, -(-wmax // 64) * 64)                # bucket to bound recompiles
-        wmax = min(wmax, sched.T)
-        words = np.asarray(jax.device_get(buf[:, :, :wmax]))
+        wmax = min(wmax, buf.shape[1])
+        words = np.asarray(jax.device_get(buf[:, :wmax]))
         results = []
         for i in range(b):
-            lane_streams = [words[i, j, :counts[i, j]][::-1].astype(np.uint32)
-                            for j in range(sched.M)]
-            bitstream = _serialize(latent_shape, lane_streams, states[i],
+            stream = words[i, :n_words[i]][::-1].astype(np.uint32)
+            bitstream = _serialize(latent_shape, stream, states[i],
                                    symbol_crc(symbols[i]))
             results.append(EncodeResult(bitstream=bitstream,
                                         num_bits=len(bitstream) * 8,
@@ -238,15 +240,16 @@ class LatentCodec:
         b = len(parsed)
         run, sched = self._batched_scan_fn(latent_shape)
         _, _, pack_syms, pad_streams = self._device_helpers(latent_shape)
-        wmax = max([1] + [len(w) for p in parsed for w in p[1]])
-        wmax = min(max(64, -(-wmax // 64) * 64), sched.T)
-        packed = np.zeros((b, sched.M, wmax), np.uint32)
-        states = np.zeros((b, sched.M), np.uint32)
-        for i, (_, lane_streams, st, _crc) in enumerate(parsed):
+        r = rans.R_LANES if sched.M >= rans.R_LANES else sched.M
+        w_buf = sched.T * sched.M
+        wmax = max([1] + [len(p[1]) for p in parsed])
+        wmax = min(max(64, -(-wmax // 64) * 64), w_buf)
+        packed = np.zeros((b, wmax), np.uint32)
+        states = np.zeros((b, r), np.uint32)
+        for i, (_, stream_words, st, _crc) in enumerate(parsed):
             states[i] = st
-            for j, words in enumerate(lane_streams):
-                packed[i, j, :len(words)] = words
-        streams = pad_streams(jnp.asarray(packed), t=sched.T)
+            packed[i, :len(stream_words)] = stream_words
+        streams = pad_streams(jnp.asarray(packed), t=w_buf)
         dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int32)
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
                             streams, jnp.asarray(states), jnp.int32(0))
@@ -285,20 +288,17 @@ class LatentCodec:
 # Bitstream container
 # ---------------------------------------------------------------------------
 
-def _serialize(latent_shape, lane_streams, final_states: np.ndarray,
-               sym_crc: int = 0) -> bytes:
+def _serialize(latent_shape, stream_words: np.ndarray,
+               final_states: np.ndarray, sym_crc: int = 0) -> bytes:
     buf = io.BytesIO()
     buf.write(MAGIC)
     buf.write(np.asarray([VERSION], np.uint16).tobytes())
     buf.write(np.asarray(latent_shape, np.uint16).tobytes())
     buf.write(np.asarray([sym_crc], np.uint32).tobytes())
-    m = len(lane_streams)
-    buf.write(np.asarray([m], np.uint32).tobytes())
+    buf.write(np.asarray([len(final_states)], np.uint16).tobytes())
     buf.write(final_states.astype(np.uint32).tobytes())
-    lens = np.asarray([len(w) for w in lane_streams], np.uint32)
-    buf.write(lens.tobytes())
-    for w in lane_streams:
-        buf.write(w.astype(np.uint16).tobytes())
+    buf.write(np.asarray([len(stream_words)], np.uint32).tobytes())
+    buf.write(stream_words.astype(np.uint16).tobytes())
     return buf.getvalue()
 
 
@@ -309,11 +309,8 @@ def _deserialize(data: bytes):
     assert version == VERSION, version
     latent_shape = tuple(int(v) for v in np.frombuffer(buf.read(6), np.uint16))
     sym_crc = int(np.frombuffer(buf.read(4), np.uint32)[0])
-    m = int(np.frombuffer(buf.read(4), np.uint32)[0])
-    states = np.frombuffer(buf.read(4 * m), np.uint32).copy()
-    lens = np.frombuffer(buf.read(4 * m), np.uint32)
-    lane_streams = []
-    for n in lens:
-        lane_streams.append(np.frombuffer(buf.read(2 * int(n)), np.uint16)
-                            .astype(np.uint32))
-    return latent_shape, lane_streams, states, sym_crc
+    r = int(np.frombuffer(buf.read(2), np.uint16)[0])
+    states = np.frombuffer(buf.read(4 * r), np.uint32).copy()
+    n = int(np.frombuffer(buf.read(4), np.uint32)[0])
+    stream_words = np.frombuffer(buf.read(2 * n), np.uint16).astype(np.uint32)
+    return latent_shape, stream_words, states, sym_crc

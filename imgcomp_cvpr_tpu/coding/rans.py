@@ -191,6 +191,94 @@ def encode_reverse_scan(freq_sel: jax.Array, start_sel: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Interleaved-stream variant: R persistent lanes, S = M / R sub-iterations
+# per wavefront step, ONE shared word stream.
+#
+# M concurrent positions per step would naively need M rANS states (each
+# lane can absorb at most one symbol per step), and every independent
+# stream costs ~64 bits of overhead (state flush + length). Since all M
+# CDFs of a step are known up-front, only the *integer state updates*
+# serialize — so R lanes each absorb S symbols per step in S cheap
+# sub-iterations ((R,)-wide VPU ops), cutting per-image overhead from
+# M x 64 bits to R x 32 bits + one length. Renormalization words go to a
+# single stream in deterministic (step, sub-iter, lane-rank) order via a
+# prefix sum, which removes the per-lane length table entirely.
+# ---------------------------------------------------------------------------
+
+R_LANES = 64
+
+
+def decode_step_interleaved(states, gptr, stream, freq, cdf_low, active):
+    """One wavefront step of interleaved decode.
+
+    states: (R,) uint32; gptr: () int32 read pointer into stream (W,) uint32;
+    freq/cdf_low: (M, L) uint32 with M = R*S; active: (M,).
+    Returns (symbols (M,) int32, states, gptr)."""
+    m = freq.shape[0]
+    r = R_LANES if m >= R_LANES else m
+    assert m % r == 0, (m, r)
+    syms = []
+    for si in range(m // r):
+        sl = slice(si * r, (si + 1) * r)
+        f_t, c_t, a = freq[sl], cdf_low[sl], active[sl]
+        slot = (states & jnp.uint32(SCALE - 1)).astype(jnp.uint32)
+        sym = (jnp.sum(c_t <= slot[:, None], axis=-1) - 1).astype(jnp.int32)
+        f = jnp.take_along_axis(f_t, sym[:, None], axis=-1)[:, 0]
+        start = jnp.take_along_axis(c_t, sym[:, None], axis=-1)[:, 0]
+        x = f * (states >> SCALE_BITS) + slot - start
+        need = a & (x < jnp.uint32(RANS_L))
+        rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+        w = jnp.take(stream, jnp.clip(gptr + rank, 0, stream.shape[0] - 1))
+        x = jnp.where(need, (x << WORD_BITS) | w, x)
+        states = jnp.where(a, x, states)
+        gptr = gptr + jnp.sum(need.astype(jnp.int32))
+        syms.append(jnp.where(a, sym, 0))
+    return jnp.concatenate(syms), states, gptr
+
+
+def encode_reverse_scan_interleaved(freq_sel: jax.Array, start_sel: jax.Array,
+                                    active: jax.Array):
+    """On-device reverse interleaved encode matching decode_step_interleaved.
+
+    freq_sel/start_sel: (T, M) uint32, active: (T, M). Returns
+    (words (W,) uint32 in REVERSED (emission) order, n_words (), states (R,)).
+    The decode-order stream is words[:n_words][::-1]."""
+    T, m = freq_sel.shape
+    r = R_LANES if m >= R_LANES else m
+    s_count = m // r
+    w_cap = T * m  # static upper bound: <= 1 word per symbol slot
+
+    def step(carry, x):
+        states, gw, buf = carry
+        f_all, st_all, a_all = x
+        # Reverse sub-iteration order; within one, emit in descending
+        # lane-rank so the final global reversal restores decode order.
+        for si in range(s_count - 1, -1, -1):
+            sl = slice(si * r, (si + 1) * r)
+            f = jnp.maximum(f_all[sl], jnp.uint32(1))
+            st = st_all[sl]
+            a = a_all[sl]
+            emit = a & (states >= (f << WORD_BITS))
+            word = states & jnp.uint32(WORD_MASK)
+            e32 = emit.astype(jnp.int32)
+            fwd_rank = jnp.cumsum(e32) - e32
+            total = jnp.sum(e32)
+            pos = jnp.where(emit, gw + (total - 1 - fwd_rank), w_cap)
+            buf = buf.at[pos].set(word, mode='drop')
+            states = jnp.where(emit, states >> WORD_BITS, states)
+            x_new = ((states // f) << SCALE_BITS) + (states % f) + st
+            states = jnp.where(a, x_new, states)
+            gw = gw + total
+        return (states, gw, buf), ()
+
+    init = (jnp.full((r,), RANS_L, jnp.uint32), jnp.zeros((), jnp.int32),
+            jnp.zeros((w_cap,), jnp.uint32))
+    (states, n_words, buf), _ = jax.lax.scan(
+        step, init, (freq_sel, start_sel, active), reverse=True)
+    return buf, n_words, states
+
+
+# ---------------------------------------------------------------------------
 # In-scan decode step (jnp) — used inside the wavefront scan
 # ---------------------------------------------------------------------------
 

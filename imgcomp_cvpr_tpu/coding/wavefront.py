@@ -112,6 +112,10 @@ def build_schedule(latent_shape: Tuple[int, int, int], context_size: int,
     T = int(t_all.max()) + 1
     counts = np.bincount(t_all.ravel(), minlength=T)
     M = int(counts.max())
+    # Pad lane count to a multiple of the interleaved-rANS lane width so
+    # per-step position blocks slice evenly into sub-iterations.
+    if M > 64:
+        M = -(-M // 64) * 64
 
     order = np.argsort(t_all.ravel(), kind='stable')
     d_s = d_idx.ravel()[order]
