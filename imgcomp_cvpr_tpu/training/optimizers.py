@@ -55,15 +55,33 @@ def make_single_optimizer(config, schedule: optax.Schedule) -> optax.GradientTra
 
 
 def make_optimizer(ae_config, pc_config, itr_per_epoch: int) -> optax.GradientTransformation:
-    """Optimizer over a params pytree with top-level keys 'ae' and 'pc'."""
-    ae_opt = make_single_optimizer(ae_config, make_schedule(ae_config, itr_per_epoch))
+    """Optimizer over a params pytree with top-level keys 'ae' and 'pc'.
+
+    Three groups: AE vars at lr_ae, context-model vars at lr_pc
+    (ref: train.py:339-349), and optionally the quantizer centers at
+    lr_ae * lr_centers_factor (ref: ae_configs/base:31)."""
+    ae_sched = make_schedule(ae_config, itr_per_epoch)
+    ae_opt = make_single_optimizer(ae_config, ae_sched)
     pc_opt = make_single_optimizer(pc_config, make_schedule(pc_config, itr_per_epoch))
+    centers_factor = getattr_or(ae_config, 'lr_centers_factor', None)
+    if centers_factor:
+        centers_opt = make_single_optimizer(
+            ae_config, lambda step: ae_sched(step) * centers_factor)
+    else:
+        centers_opt = ae_opt
     if not getattr_or(ae_config, 'train_autoencoder', True):
         ae_opt = optax.set_to_zero()
+        centers_opt = optax.set_to_zero()
     if not getattr_or(ae_config, 'train_probclass', True):
         pc_opt = optax.set_to_zero()
+
     def label_fn(params):
-        return {'ae': jax.tree.map(lambda _: 'ae', params['ae']),
+        ae_labels = jax.tree.map(lambda _: 'ae', params['ae'])
+        ae_labels['encoder'] = dict(ae_labels['encoder'])
+        ae_labels['encoder']['centers'] = 'centers'
+        return {'ae': ae_labels,
                 'pc': jax.tree.map(lambda _: 'pc', params['pc'])}
 
-    return optax.multi_transform({'ae': ae_opt, 'pc': pc_opt}, param_labels=label_fn)
+    return optax.multi_transform(
+        {'ae': ae_opt, 'pc': pc_opt, 'centers': centers_opt},
+        param_labels=label_fn)

@@ -36,6 +36,38 @@ class TrainFlags:
     profile_steps: Optional[int] = None  # trace steps [10, 10+profile_steps)
 
 
+def _dump_test_images(log_dir: str, itr: int, trainer: Trainer, state,
+                      test_batch, test_batch_np, n: int = 3) -> None:
+    """Save input/output/heatmap images for the test batch (the reference's
+    TB image summaries, ref train.py:163-171), as PNGs under <logdir>/imgs."""
+    try:
+        from PIL import Image
+        ae = trainer.ae
+        ae_vars = {'params': state.params['ae'],
+                   'batch_stats': state.batch_stats}
+        x = jax.numpy.asarray(test_batch[:n]).astype(jax.numpy.float32)
+        enc = ae.apply(ae_vars, x, False, method='encode')
+        x_out = ae.apply(ae_vars, enc.qhard, False, method='decode')
+        out_dir = os.path.join(log_dir, 'imgs')
+        os.makedirs(out_dir, exist_ok=True)
+        x_out_np = np.asarray(jax.device_get(x_out)).astype(np.uint8)
+        hm = enc.heatmap
+        hm_np = None
+        if hm is not None:
+            hm_np = np.asarray(jax.device_get(jax.numpy.sum(hm, axis=-1)))
+            hm_np = (hm_np / max(hm_np.max(), 1e-6) * 255).astype(np.uint8)
+        for i in range(min(n, x_out_np.shape[0])):
+            Image.fromarray(test_batch_np[i].astype(np.uint8)).save(
+                os.path.join(out_dir, f'{itr:08d}_{i}_in.png'))
+            Image.fromarray(x_out_np[i]).save(
+                os.path.join(out_dir, f'{itr:08d}_{i}_out.png'))
+            if hm_np is not None:
+                Image.fromarray(hm_np[i]).save(
+                    os.path.join(out_dir, f'{itr:08d}_{i}_hm.png'))
+    except Exception as e:  # never kill training over a summary
+        print(f'image dump failed: {e}')
+
+
 def train(ae_config_spec: str, pc_config_spec: str,
           dataset_train: str = 'synthetic:64',
           dataset_test: str = 'synthetic:8',
@@ -137,8 +169,11 @@ def train(ae_config_spec: str, pc_config_spec: str,
                 saver.save(state, itr)
 
             if flags.log_interval_test > 0 and itr % flags.log_interval_test == 0:
-                test_batch = put(ip_test.get_batch())
+                test_batch_np = ip_test.get_batch()
+                test_batch = put(test_batch_np)
                 test_out = jax.device_get(trainer.eval_step(state, test_batch))
+                _dump_test_images(log_dir, itr, trainer, state, test_batch,
+                                  test_batch_np)
                 scalars = {k: float(v) for k, v in test_out.items()}
                 scalars['d_BPG'] = d_bpg(scalars['bpp'],
                                          scalars.get('ms_ssim_eval',

@@ -175,3 +175,30 @@ def test_records_dataset_roundtrip(tmp_path):
     assert ds.num_images == 3
     for i, img in enumerate(imgs):
         np.testing.assert_array_equal(ds.load(i), img)
+
+
+def test_lr_centers_factor_group():
+    ae, pc = tiny_configs()
+    ae = ae.replace(lr_centers_factor=0.1, lr_schedule='FIXED')
+    t = trainer.Trainer(ae, pc, num_train_images=64)
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    before = jax.device_get(state.params)
+    state2, _ = t.train_step(state, _batch())
+    after = jax.device_get(state2.params)
+    # centers moved, but ~10x less than an equally-scaled dense param would
+    dc = np.abs(after['ae']['encoder']['centers']
+                - before['ae']['encoder']['centers'])
+    assert dc.max() > 0
+    # Adam step size ~ lr: centers lr = 0.1 * lr_ae
+    assert dc.max() < 0.2 * ae.lr_initial * 10  # loose sanity bound
+
+
+def test_no_heatmap_config():
+    from imgcomp_cvpr_tpu.models import autoencoder as ae_lib
+    ae, pc = tiny_configs()
+    ae = ae.replace(heatmap=False)
+    t = trainer.Trainer(ae, pc, num_train_images=64)
+    state = t.init_state(jax.random.PRNGKey(0), crop_hw=(32, 32), batch_size=2)
+    state, comps = t.train_step(state, _batch())
+    assert np.isfinite(float(comps['total_loss']))
+    assert float(comps['H_mask']) == float(comps['H_real'])  # no mask term
