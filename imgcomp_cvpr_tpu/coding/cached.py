@@ -112,7 +112,9 @@ def _group_by_step(steps: np.ndarray, T: int) -> Tuple[int, np.ndarray, np.ndarr
 def build_cached_schedule(latent_shape: Tuple[int, int, int],
                           context_size: int = 9) -> CachedSchedule:
     assert context_size == 9, 'cached codec supports kernel_size=3 geometry'
-    base = wavefront.build_schedule(latent_shape, context_size)
+    # The cone DP below uses the linear assignment for G0 steps; keep the
+    # lane schedule consistent with it.
+    base = wavefront.build_schedule(latent_shape, context_size, 'linear')
     C, H, W = latent_shape
     p = context_size // 2
     g0_shape = base.padded_shape

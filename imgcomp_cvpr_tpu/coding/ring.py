@@ -72,7 +72,9 @@ def _u_max(shape: Tuple[int, int, int]) -> int:
 def build_ring_schedule(latent_shape: Tuple[int, int, int],
                         context_size: int = 9) -> RingSchedule:
     assert context_size == 9, 'ring codec is specialized to kernel_size=3'
-    base = wavefront.build_schedule(latent_shape, context_size)
+    # The v-row algebra requires the *linear* step assignment t = 25d+5h+w
+    # (ASAP happens to coincide for this geometry, but don't depend on it).
+    base = wavefront.build_schedule(latent_shape, context_size, 'linear')
     C, H, W = latent_shape
     p = context_size // 2
     g0 = base.padded_shape
