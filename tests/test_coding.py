@@ -338,3 +338,49 @@ def test_device_encoder_matches_cpp(tiny_pc_setup):
     for j in range(M):
         words = buf[j, :counts[j]][::-1]
         np.testing.assert_array_equal(words, streams_ref[j])
+
+
+@pytest.mark.parametrize('latent', [(8, 4, 5),    # M < 64 (R = M path)
+                                    (12, 10, 13),  # M padded to 64
+                                    (5, 16, 9)])   # tall-thin grid
+def test_ring_codec_shape_variety(tiny_pc_setup, latent):
+    cfg, pc, params, centers, _ = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
+    rng = np.random.RandomState(hash(latent) % 2**31)
+    symbols = rng.randint(0, 6, size=latent)
+    codec.roundtrip(params, symbols, centers)
+
+
+def test_codec_hi_config_channels():
+    """cvpr/hi uses C=64 bottleneck channels (ref ae_configs/cvpr/hi)."""
+    cfg, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    cfg = cfg.replace(arch_param__k=4)
+    pc = probclass.ProbClassifier(cfg, num_centers=6)
+    latent = (64, 5, 6)
+    params = pc.init(jax.random.PRNGKey(3), (1, latent[1], latent[2], latent[0]))
+    centers = np.linspace(-2, 2, 6).astype(np.float32)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
+    rng = np.random.RandomState(13)
+    codec.roundtrip(params, rng.randint(0, 6, size=latent), centers)
+
+
+def test_codec_skewed_probabilities():
+    """Near-deterministic CDFs (trained-model regime): freq hits the 1 floor
+    and the 65530 ceiling."""
+    cfg, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    cfg = cfg.replace(arch_param__k=4)
+    pc = probclass.ProbClassifier(cfg, num_centers=6)
+    latent = (4, 6, 7)
+    params = pc.init(jax.random.PRNGKey(4), (1, latent[1], latent[2], latent[0]))
+    # Scale up the output-layer weights to produce extreme logits.
+    params = jax.tree.map(lambda x: x, params)
+    import flax.serialization as fs
+    d = fs.to_state_dict(params)
+    d['params']['conv_out']['w'] = d['params']['conv_out']['w'] * 50.0
+    d['params']['conv_out']['b'] = d['params']['conv_out']['b'] + 5.0
+    params = fs.from_state_dict(params, d)
+    centers = np.linspace(-2, 2, 6).astype(np.float32)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='ring')
+    rng = np.random.RandomState(14)
+    result = codec.roundtrip(params, rng.randint(0, 6, size=latent), centers)
+    assert result.num_bits > 0
