@@ -5,8 +5,9 @@
 // (LIFO) pass over those tables — pure integer work that the host does
 // while the TPU moves on to the next image. The reference's equivalent was
 // a pure-Python arithmetic coder (ref: arithmetic_coding.py:80-159); this
-// is the production-path replacement (the numpy implementation in
-// coding/rans.py remains as the test oracle).
+// was the production-path replacement until the reverse encode moved
+// on-device (rans.encode_reverse_scan_interleaved); it remains the native
+// host fallback and the cross-check oracle for the device encoders.
 //
 // Layout contracts (kept in sync with coding/rans.py):
 //   state: uint32 in [2^16, 2^32); SCALE_BITS = 16; 16-bit renorm words;

@@ -17,6 +17,12 @@ one per wavefront slot, so the whole decode runs vectorized on device:
 `quantize_cdf` is pure jnp and runs inside the decode scan; its encode-side
 twin is the *same compiled code* (coding/codec.py), which is what makes the
 float->integer CDF mapping bit-exact between encode and decode.
+
+Production format (container v3) is the interleaved single-stream variant
+(decode_step_interleaved / encode_reverse_scan_interleaved, both on
+device). The per-lane-stream functions further down (scalar/numpy/C++ via
+encode_reverse) are retained as reference implementations and unit-test
+oracles for the rANS math itself.
 """
 
 from __future__ import annotations
