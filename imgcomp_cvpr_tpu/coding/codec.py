@@ -123,7 +123,7 @@ class LatentCodec:
 
                 sym_dec, states, gptr = rans.decode_step_interleaved(
                     states, gptr, stream, freq, cdf_low, x['active'])
-                sym_true = jnp.take(true_syms_flat, x['sym_idx'])
+                sym_true = jnp.take(true_syms_flat, x['sym_idx']).astype(jnp.int32)
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
 
@@ -210,7 +210,7 @@ class LatentCodec:
         states_dummy = jnp.full((b, r), rans.RANS_L, jnp.uint32)
         _, freq_sel, start_sel, _ = run(
             pc_params, jnp.asarray(centers),
-            jnp.asarray(symbols.reshape(b, -1), jnp.int32),
+            jnp.asarray(symbols.reshape(b, -1), jnp.int8),
             streams_dummy, states_dummy, jnp.int32(1))
         buf, n_words, states = encode_streams(freq_sel, start_sel)
         theo = np.asarray(jax.device_get(theoretical_bits(freq_sel)))
@@ -250,7 +250,7 @@ class LatentCodec:
             states[i] = st
             packed[i, :len(stream_words)] = stream_words
         streams = pad_streams(jnp.asarray(packed), t=w_buf)
-        dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int32)
+        dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int8)
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
                             streams, jnp.asarray(states), jnp.int32(0))
         out = np.asarray(jax.device_get(pack_syms(syms)), np.int32)  # (B, n)

@@ -246,7 +246,7 @@ class RingScanBuilder:
 
                 sym_dec, states, gptr = rans.decode_step_interleaved(
                     states, gptr, stream, freq, cdf_low, x['active'])
-                sym_true = jnp.take(true_syms_flat, x['sym_idx'])
+                sym_true = jnp.take(true_syms_flat, x['sym_idx']).astype(jnp.int32)
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
 
