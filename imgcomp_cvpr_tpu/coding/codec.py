@@ -213,9 +213,10 @@ class LatentCodec:
             jnp.asarray(symbols.reshape(b, -1), jnp.int8),
             streams_dummy, states_dummy, jnp.int32(1))
         buf, n_words, states = encode_streams(freq_sel, start_sel)
-        theo = np.asarray(jax.device_get(theoretical_bits(freq_sel)))
-        n_words = np.asarray(jax.device_get(n_words))      # (B,)
-        states = np.asarray(jax.device_get(states))        # (B, R)
+        # one blocking transfer for all the small outputs
+        theo, n_words, states = jax.device_get(
+            (theoretical_bits(freq_sel), n_words, states))
+        theo, n_words, states = map(np.asarray, (theo, n_words, states))
         wmax = int(n_words.max()) if n_words.size else 0
         wmax = max(64, -(-wmax // 64) * 64)                # bucket to bound recompiles
         wmax = min(wmax, buf.shape[1])
