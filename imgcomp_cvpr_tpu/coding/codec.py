@@ -194,11 +194,12 @@ class LatentCodec:
 
     # ------------------------------------------------------------------
 
-    def encode_batch(self, pc_params, symbols: np.ndarray, centers: np.ndarray
-                     ) -> Tuple[EncodeResult, ...]:
-        """symbols: (B, C, H, W). Encodes all images in one device pass;
-        the reverse rANS encode also runs on device, so only the final
-        streams (~kilobytes) cross the host link."""
+    def encode_batch_submit(self, pc_params, symbols: np.ndarray,
+                            centers: np.ndarray):
+        """Dispatch the device side of an encode without blocking: the CDF
+        scan and the on-device reverse rANS. Returns an opaque handle for
+        encode_batch_finish — letting callers overlap the host-side
+        fetch/serialize of one batch with the device work of the next."""
         symbols = np.asarray(symbols)
         b = symbols.shape[0]
         latent_shape = tuple(symbols.shape[1:])
@@ -213,9 +214,14 @@ class LatentCodec:
             jnp.asarray(symbols.reshape(b, -1), jnp.int8),
             streams_dummy, states_dummy, jnp.int32(1))
         buf, n_words, states = encode_streams(freq_sel, start_sel)
+        theo = theoretical_bits(freq_sel)
+        return (latent_shape, symbols, buf, n_words, states, theo)
+
+    def encode_batch_finish(self, handle) -> Tuple[EncodeResult, ...]:
+        latent_shape, symbols, buf, n_words, states, theo = handle
+        b = symbols.shape[0]
         # one blocking transfer for all the small outputs
-        theo, n_words, states = jax.device_get(
-            (theoretical_bits(freq_sel), n_words, states))
+        theo, n_words, states = jax.device_get((theo, n_words, states))
         theo, n_words, states = map(np.asarray, (theo, n_words, states))
         wmax = int(n_words.max()) if n_words.size else 0
         wmax = max(64, -(-wmax // 64) * 64)                # bucket to bound recompiles
@@ -232,9 +238,17 @@ class LatentCodec:
                                         symbols=symbols[i]))
         return tuple(results)
 
-    def decode_batch(self, pc_params, bitstreams, centers: np.ndarray,
-                     verify: bool = True) -> np.ndarray:
-        """-> (B, C, H, W) symbols, all images decoded in one device pass."""
+    def encode_batch(self, pc_params, symbols: np.ndarray, centers: np.ndarray
+                     ) -> Tuple[EncodeResult, ...]:
+        """symbols: (B, C, H, W). Encodes all images in one device pass;
+        the reverse rANS encode also runs on device, so only the final
+        streams (~kilobytes) cross the host link."""
+        return self.encode_batch_finish(
+            self.encode_batch_submit(pc_params, symbols, centers))
+
+    def decode_batch_submit(self, pc_params, bitstreams, centers: np.ndarray):
+        """Dispatch the device side of a decode; returns a handle for
+        decode_batch_finish."""
         parsed = [_deserialize(bs) for bs in bitstreams]
         latent_shape = parsed[0][0]
         assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
@@ -254,7 +268,12 @@ class LatentCodec:
         dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int8)
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
                             streams, jnp.asarray(states), jnp.int32(0))
-        out = np.asarray(jax.device_get(pack_syms(syms)), np.int32)  # (B, n)
+        return (latent_shape, parsed, pack_syms(syms))
+
+    def decode_batch_finish(self, handle, verify: bool = True) -> np.ndarray:
+        latent_shape, parsed, packed_syms = handle
+        b = len(parsed)
+        out = np.asarray(jax.device_get(packed_syms), np.int32)  # (B, n)
         out = out.reshape((b,) + latent_shape)
         if verify:
             for i in range(b):
@@ -263,6 +282,13 @@ class LatentCodec:
                         f'decode CRC mismatch for image {i}: corrupt stream, '
                         'or decode ran with a different executable than encode')
         return out
+
+    def decode_batch(self, pc_params, bitstreams, centers: np.ndarray,
+                     verify: bool = True) -> np.ndarray:
+        """-> (B, C, H, W) symbols, all images decoded in one device pass."""
+        return self.decode_batch_finish(
+            self.decode_batch_submit(pc_params, bitstreams, centers),
+            verify=verify)
 
     def encode(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                ) -> EncodeResult:
