@@ -69,8 +69,8 @@ def main():
 
     def full_decode(bitstreams):
         syms = codec.decode_batch(pc_vars, bitstreams, centers)  # CRC-verified
-        syms_nhwc = jnp.asarray(np.transpose(syms, (0, 2, 3, 1)))
-        q = jnp.asarray(centers)[syms_nhwc]
+        syms_nhwc = jnp.asarray(np.transpose(syms, (0, 2, 3, 1)).astype(np.int8))
+        q = jnp.asarray(centers)[syms_nhwc.astype(jnp.int32)]
         return jax.block_until_ready(ae_decode(ae_vars, q))
 
     # Warmup (compile) + correctness gate: bit-exact round-trip.
@@ -94,7 +94,8 @@ def main():
         if i + 1 < n_iter:
             enc_h = codec.encode_batch_submit(pc_vars, syms_dev, centers)
         syms_out = codec.decode_batch_finish(dec_h)
-        q = jnp.asarray(centers)[jnp.asarray(np.transpose(syms_out, (0, 2, 3, 1)))]
+        q = jnp.asarray(centers)[jnp.asarray(
+            np.transpose(syms_out, (0, 2, 3, 1)).astype(np.int8)).astype(jnp.int32)]
         x_out = ae_decode(ae_vars, q)
     jax.block_until_ready(x_out)
     dt = (time.time() - t0) / n_iter
