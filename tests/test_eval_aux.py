@@ -105,3 +105,44 @@ def test_purge_checkpoints(tmp_path):
     left = sorted(os.listdir(ckpt_dir))
     assert left == ['ckpt-200', 'ckpt-500', 'ckpt-800']
     assert os.path.isdir(str(tmp_path / 'archive'))
+
+
+def test_full_analysis_path(tmp_path, monkeypatch):
+    """other_codecs curves -> codec_distance -> plotter with an 'Ours' run
+    (the reference's offline analysis path, SURVEY.md §3.5)."""
+    from PIL import Image
+    from imgcomp_cvpr_tpu.eval import plotter, val_files
+    from imgcomp_cvpr_tpu.utils import constants, logdir as logdir_lib
+
+    # 1. measured JPEG curves for the 'kodak' dataset slot
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(_img(i, 96, 96)).save(img_dir / f'im{i}.png')
+    root = tmp_path / 'codecs'
+    out_dir = root / codec_distance.CODECS['kodak']['jp']
+    other_codecs.create_curves_for_images(
+        str(img_dir), str(out_dir), grid=[10, 30, 50, 70, 90], mode='jp')
+    monkeypatch.setattr(constants, 'OTHER_CODECS_ROOT', str(root))
+
+    # 2. an "Ours" run: log dir + measures.csv in the reference format
+    log_root = tmp_path / 'logs'
+    log_dir = logdir_lib.create_unique_log_dir(['cvpr/low', 'cvpr/res_shallow'],
+                                               str(log_root))
+    ckpt_dir = logdir_lib.ckpt_dir_for_log_dir(log_dir)
+    os.makedirs(ckpt_dir)
+    vd = val_files.ValidationDirs(ckpt_dir, str(log_root), 'kodak')
+    mw = val_files.MeasuresWriter(vd.out_dir)
+    for name, bpp, ms, ps in [('im0.png', 0.3, 0.95, 28.0),
+                              ('im1.png', 0.5, 0.97, 30.0)]:
+        mw.append(name, {'bpp': bpp, 'ms-ssim': ms, 'psnr': ps})
+    mw.close()
+
+    # 3. plot: codec curve + Ours mean + paper curve
+    job_id = logdir_lib.log_date_from_log_dir(log_dir)
+    out = str(tmp_path / 'rd.png')
+    plotter.interpolated_curve(str(log_root), job_id, 'kodak',
+                               plot_interp_of_ours=False,
+                               plot_mean_of_ours=True,
+                               output_path=out, paper_plot=True)
+    assert os.path.getsize(out) > 1000
