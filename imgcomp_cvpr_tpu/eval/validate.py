@@ -24,7 +24,6 @@ import numpy as np
 from ..data.images_iterator import ImagesIterator
 from ..models import autoencoder as ae_lib
 from ..models import probclass as pc_lib
-from ..ops import bits as bits_lib
 from ..ops import metrics as metrics_lib
 from ..ops import msssim as msssim_lib
 from ..training import checkpoint as checkpoint_lib

@@ -10,7 +10,6 @@ prefetch queue and JAX async dispatch.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass
 from typing import Optional
 

@@ -9,7 +9,6 @@ state are replicated and XLA emits the ICI all-reduce for the grads.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
