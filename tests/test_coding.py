@@ -384,3 +384,8 @@ def test_codec_skewed_probabilities():
     rng = np.random.RandomState(14)
     result = codec.roundtrip(params, rng.randint(0, 6, size=latent), centers)
     assert result.num_bits > 0
+
+
+def test_schedule_causality_larger():
+    sched = wavefront.build_schedule((6, 9, 11), 9, 'linear')
+    wavefront.check_schedule_causality(sched, 9)

@@ -83,3 +83,19 @@ def test_replace():
     cfg, _ = config_lib.parse_spec('cvpr/low', 'ae')
     cfg2 = cfg.replace(batch_size=4)
     assert cfg2.batch_size == 4 and cfg.batch_size == 30
+
+
+def test_all_reference_configs_parse():
+    """Every config file shipped by the reference must parse with our DSL."""
+    import glob
+    ref = '/root/reference/code'
+    if not os.path.isdir(ref):
+        pytest.skip('reference not mounted')
+    for base in ('ae_configs', 'pc_configs'):
+        root = os.path.join(ref, base)
+        files = [p for p in glob.glob(os.path.join(root, '**', '*'), recursive=True)
+                 if os.path.isfile(p)]
+        assert files
+        for p in files:
+            cfg, rel = config_lib.parse(p, base_dir=root)
+            assert len(list(cfg.keys())) > 0, p

@@ -65,3 +65,22 @@ def test_psnr():
     got = metrics.psnr_per_image(jnp.asarray(img1, jnp.float32),
                                  jnp.asarray(img2, jnp.float32), cast_to_int=True)
     assert float(got[0]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_train_variant_gradient_matches_numerical():
+    import jax
+    img1, img2 = _pair(h=176, w=176, noise=15.0)
+    x = jnp.asarray(img2)
+
+    def f(x):
+        return msssim.msssim_train(jnp.asarray(img1), x)
+
+    g = np.asarray(jax.grad(f)(x))
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        i, j, c = rng.randint(176), rng.randint(176), rng.randint(3)
+        eps = 0.5
+        xp = np.asarray(img2).copy(); xp[0, i, j, c] += eps
+        xm = np.asarray(img2).copy(); xm[0, i, j, c] -= eps
+        num = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+        assert num == pytest.approx(float(g[0, i, j, c]), abs=3e-5), (i, j, c)
