@@ -40,7 +40,15 @@ from . import rans
 from . import wavefront
 
 MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
-VERSION = 3  # interleaved single-stream rANS (R persistent lanes)
+VERSION = 4  # v3 + impl id in the header (containers self-route on decode)
+
+# Container impl ids: a stream must be decoded by the implementation that
+# encoded it (bit-exactness holds per executable); the header makes decode
+# auto-route instead of failing the CRC.
+IMPL_DIRECT, IMPL_CACHED, IMPL_RING, IMPL_PALLAS = 0, 1, 2, 3
+IMPL_IDS = {'direct': IMPL_DIRECT, 'cached': IMPL_CACHED, 'ring': IMPL_RING,
+            'pallas': IMPL_PALLAS}
+IMPL_NAMES = {v: k for k, v in IMPL_IDS.items()}
 
 
 def symbol_crc(symbols: np.ndarray) -> int:
@@ -65,14 +73,38 @@ class LatentCodec:
     encoded them — the container CRC catches violations.
     """
 
-    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'ring'):
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'auto'):
         self.pc = pc
         self.pc_config = pc_config
         self.context_size = pc_lib.context_size(pc_config)
-        assert impl in ('direct', 'cached', 'ring'), impl
-        if impl in ('cached', 'ring') and pc_config.kernel_size != 3:
-            impl = 'direct'  # cached paths are specialized to K=3 geometry
+        assert impl in ('auto', 'direct', 'cached', 'ring', 'pallas'), impl
+        if impl == 'auto':
+            # The Pallas monolith is the production path on TPU; the XLA ring
+            # scan is the fastest pure-XLA path (and the CPU-test default).
+            import jax
+            impl = 'pallas' if jax.default_backend() == 'tpu' else 'ring'
+        if impl in ('cached', 'ring', 'pallas') and pc_config.kernel_size != 3:
+            impl = 'direct'  # fast paths are specialized to K=3 geometry
         self.impl = impl
+        self._pallas = None
+        self._siblings = {}
+
+    def _pallas_coder(self):
+        if self._pallas is None:
+            from .pallas_codec import PallasCoder
+            self._pallas = PallasCoder(self.pc, self.pc_config)
+        return self._pallas
+
+    def _route(self, impl_id: int) -> 'LatentCodec':
+        """Return the codec matching a container's impl id (self-routing
+        decode; streams are only decodable by the impl that encoded them)."""
+        name = IMPL_NAMES[impl_id]
+        if name == self.impl:
+            return self
+        if name not in self._siblings:
+            self._siblings[name] = LatentCodec(self.pc, self.pc_config,
+                                               impl=name)
+        return self._siblings[name]
 
     # ------------------------------------------------------------------
 
@@ -200,6 +232,9 @@ class LatentCodec:
         scan and the on-device reverse rANS. Returns an opaque handle for
         encode_batch_finish — letting callers overlap the host-side
         fetch/serialize of one batch with the device work of the next."""
+        if self.impl == 'pallas':
+            return ('pallas', self._pallas_coder().encode_batch_submit(
+                pc_params, symbols, centers))
         symbols = np.asarray(symbols)
         b = symbols.shape[0]
         latent_shape = tuple(symbols.shape[1:])
@@ -218,6 +253,8 @@ class LatentCodec:
         return (latent_shape, symbols, buf, n_words, states, theo)
 
     def encode_batch_finish(self, handle) -> Tuple[EncodeResult, ...]:
+        if isinstance(handle, tuple) and handle and handle[0] == 'pallas':
+            return self._pallas_coder().encode_batch_finish(handle[1])
         latent_shape, symbols, buf, n_words, states, theo = handle
         b = symbols.shape[0]
         # one blocking transfer for all the small outputs
@@ -230,8 +267,9 @@ class LatentCodec:
         results = []
         for i in range(b):
             stream = words[i, :n_words[i]][::-1].astype(np.uint32)
-            bitstream = _serialize(latent_shape, stream, states[i],
-                                   symbol_crc(symbols[i]))
+            bitstream = serialize_stream(latent_shape, stream, states[i],
+                                         symbol_crc(symbols[i]),
+                                         impl_id=IMPL_IDS[self.impl])
             results.append(EncodeResult(bitstream=bitstream,
                                         num_bits=len(bitstream) * 8,
                                         theoretical_bits=float(theo[i]),
@@ -248,8 +286,19 @@ class LatentCodec:
 
     def decode_batch_submit(self, pc_params, bitstreams, centers: np.ndarray):
         """Dispatch the device side of a decode; returns a handle for
-        decode_batch_finish."""
-        parsed = [_deserialize(bs) for bs in bitstreams]
+        decode_batch_finish. Routes to the implementation recorded in the
+        container header (streams are impl-locked; the header self-routes)."""
+        impl_id = stream_impl_id(bitstreams[0])
+        assert all(stream_impl_id(bs) == impl_id for bs in bitstreams), \
+            'mixed codec impls in one decode batch'
+        target = self._route(impl_id)
+        if target is not self:
+            return ('routed', impl_id,
+                    target.decode_batch_submit(pc_params, bitstreams, centers))
+        if self.impl == 'pallas':
+            return ('pallas', self._pallas_coder().decode_batch_submit(
+                pc_params, bitstreams, centers))
+        parsed = [deserialize_stream(bs) for bs in bitstreams]
         latent_shape = parsed[0][0]
         assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
         b = len(parsed)
@@ -271,6 +320,13 @@ class LatentCodec:
         return (latent_shape, parsed, pack_syms(syms))
 
     def decode_batch_finish(self, handle, verify: bool = True) -> np.ndarray:
+        if isinstance(handle, tuple) and handle:
+            if handle[0] == 'routed':
+                return self._route(handle[1]).decode_batch_finish(
+                    handle[2], verify=verify)
+            if handle[0] == 'pallas':
+                return self._pallas_coder().decode_batch_finish(
+                    handle[1], verify=verify)
         latent_shape, parsed, packed_syms = handle
         b = len(parsed)
         out = np.asarray(jax.device_get(packed_syms), np.int32)  # (B, n)
@@ -315,11 +371,13 @@ class LatentCodec:
 # Bitstream container
 # ---------------------------------------------------------------------------
 
-def _serialize(latent_shape, stream_words: np.ndarray,
-               final_states: np.ndarray, sym_crc: int = 0) -> bytes:
+def serialize_stream(latent_shape, stream_words: np.ndarray,
+                     final_states: np.ndarray, sym_crc: int = 0,
+                     impl_id: int = IMPL_RING) -> bytes:
     buf = io.BytesIO()
     buf.write(MAGIC)
     buf.write(np.asarray([VERSION], np.uint16).tobytes())
+    buf.write(np.asarray([impl_id], np.uint8).tobytes())
     buf.write(np.asarray(latent_shape, np.uint16).tobytes())
     buf.write(np.asarray([sym_crc], np.uint32).tobytes())
     buf.write(np.asarray([len(final_states)], np.uint16).tobytes())
@@ -329,15 +387,23 @@ def _serialize(latent_shape, stream_words: np.ndarray,
     return buf.getvalue()
 
 
-def _deserialize(data: bytes):
+def deserialize_stream(data: bytes, return_impl: bool = False):
     buf = io.BytesIO(data)
     assert buf.read(4) == MAGIC, 'bad magic'
     version = np.frombuffer(buf.read(2), np.uint16)[0]
     assert version == VERSION, version
+    impl_id = int(np.frombuffer(buf.read(1), np.uint8)[0])
     latent_shape = tuple(int(v) for v in np.frombuffer(buf.read(6), np.uint16))
     sym_crc = int(np.frombuffer(buf.read(4), np.uint32)[0])
     r = int(np.frombuffer(buf.read(2), np.uint16)[0])
     states = np.frombuffer(buf.read(4 * r), np.uint32).copy()
     n = int(np.frombuffer(buf.read(4), np.uint32)[0])
     stream_words = np.frombuffer(buf.read(2 * n), np.uint16).astype(np.uint32)
+    if return_impl:
+        return latent_shape, stream_words, states, sym_crc, impl_id
     return latent_shape, stream_words, states, sym_crc
+
+
+def stream_impl_id(data: bytes) -> int:
+    assert data[:4] == MAGIC, 'bad magic'
+    return data[6]

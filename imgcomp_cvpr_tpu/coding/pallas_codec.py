@@ -1,0 +1,209 @@
+"""Driver for the monolithic Pallas wavefront codec (pallas_kernel.py).
+
+Same external contract as coding/codec.py's LatentCodec scan paths:
+encode is teacher-forced through the SAME kernel executable decode uses
+(bit-exactness by construction), the reverse interleaved-rANS encode runs
+on device, and only streams/scalars cross the host link. Unlike the XLA
+impls, streams are batch-size independent (the batch index never enters
+the kernel's step math), so a file encoded at B=8 decodes fine at B=1.
+
+Replaces ref bit_counter.py:13-74's per-image Python round-trip driver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import probclass as pc_lib
+from . import pallas_kernel as pk
+from . import rans
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+class PallasCoder:
+    """Entropy codec for one (pc_config, num_centers) context model, running
+    the whole wavefront scan in one Pallas kernel. kernel_size must be 3."""
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config):
+        assert pc_config.kernel_size == 3, 'pallas codec requires K=3'
+        self.pc = pc
+        self.pc_config = pc_config
+        self.kf = pc_config.arch_param__k
+        self.L = pc.num_centers
+
+    # -- per-shape cached device constants -----------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _tables(self, latent_shape):
+        sched = pk.build_pallas_schedule(latent_shape)
+        return (jnp.asarray(sched.table), jnp.asarray(sched.active),
+                jnp.asarray(sched.active2d)), sched
+
+    @functools.lru_cache(maxsize=8)
+    def _prep_fns(self, latent_shape, b):
+        sched = pk.build_pallas_schedule(latent_shape)
+        idx = jnp.asarray(sched.idx_map.reshape(-1))      # (T * P_pad,)
+        n = int(np.prod(latent_shape))
+        T, P_pad = sched.T, sched.P_pad
+        active = jnp.asarray(sched.active[None, :, :, 0] != 0)  # (1, T, P_pad)
+
+        @jax.jit
+        def pack_true(symbols_flat):
+            # (B, n) int -> (B, T, P_pad, 1) i32 teacher symbols
+            padded = jnp.concatenate(
+                [symbols_flat.astype(jnp.int32),
+                 jnp.zeros((b, 1), jnp.int32)], axis=1)
+            out = jnp.take(padded, idx, axis=1)
+            return out.reshape(b, T, P_pad, 1)
+
+        @jax.jit
+        def unpack_syms(sym_tp):
+            # (B, T, P_pad, 1) i32 -> (B, n) i32 latent volumes
+            flat = sym_tp.reshape(b, T * P_pad)
+
+            def one(s):
+                return jnp.zeros((n,), jnp.int32).at[idx].set(s, mode='drop')
+
+            return jax.vmap(one)(flat)
+
+        @jax.jit
+        def theoretical_bits(freq_sel):
+            f = jnp.maximum(freq_sel.reshape(b, T, P_pad).astype(jnp.float32),
+                            1.0)
+            bits = -jnp.log2(f / rans.SCALE)
+            return jnp.sum(jnp.where(active, bits, 0.0), axis=(1, 2))
+
+        return pack_true, unpack_syms, theoretical_bits
+
+    def _weights(self, pc_params, centers):
+        """Device-side weight folding + pad constants (tiny, jitted)."""
+        return _fold_weights(self.pc, self.pc_config, self.kf, self.L,
+                             pc_params, jnp.asarray(centers))
+
+    @functools.lru_cache(maxsize=8)
+    def _kernels(self, latent_shape, b):
+        interp = _use_interpret()
+        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b,
+                                     interpret=interp)
+        rev, _ = pk.make_reverse(latent_shape, b, interpret=interp)
+        return jax.jit(fwd), jax.jit(rev), sched
+
+    # -- encode ---------------------------------------------------------------
+
+    def encode_batch_submit(self, pc_params, symbols: np.ndarray, centers):
+        symbols = np.asarray(symbols)
+        b = symbols.shape[0]
+        latent_shape = tuple(symbols.shape[1:])
+        fwd, rev, sched = self._kernels(latent_shape, b)
+        tables, _ = self._tables(latent_shape)
+        pack_true, _, theoretical_bits = self._prep_fns(latent_shape, b)
+        weights = self._weights(pc_params, centers)
+
+        true_syms = pack_true(jnp.asarray(symbols.reshape(b, -1)))
+        streams_dummy = jnp.zeros((b, sched.wcap, 1), jnp.uint32)
+        states_dummy = jnp.full((b, pk.R, 1), rans.RANS_L, jnp.uint32)
+        _, freq_sel, start_sel = fwd(weights, tables, true_syms,
+                                     streams_dummy, states_dummy,
+                                     jnp.ones((1,), jnp.int32))
+        words, n_words, states = rev(tables, freq_sel, start_sel)
+        theo = theoretical_bits(freq_sel)
+        return (latent_shape, symbols, words, n_words, states, theo)
+
+    def encode_batch_finish(self, handle):
+        from . import codec as codec_lib
+        latent_shape, symbols, words, n_words, states, theo = handle
+        b = symbols.shape[0]
+        theo, n_words, states = jax.device_get((theo, n_words, states))
+        n_words = np.asarray(n_words).reshape(b)
+        states = np.asarray(states).reshape(b, pk.R)
+        wmax = int(n_words.max()) if n_words.size else 0
+        wmax = min(max(128, pk._round_up(wmax, 128)), int(words.shape[1]))
+        host_words = np.asarray(jax.device_get(words[:, :wmax, 0]))
+        results = []
+        for i in range(b):
+            stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
+            bitstream = codec_lib.serialize_stream(
+                latent_shape, stream, states[i],
+                codec_lib.symbol_crc(symbols[i]), impl_id=codec_lib.IMPL_PALLAS)
+            results.append(codec_lib.EncodeResult(
+                bitstream=bitstream, num_bits=len(bitstream) * 8,
+                theoretical_bits=float(theo[i]), symbols=symbols[i]))
+        return tuple(results)
+
+    def encode_batch(self, pc_params, symbols, centers):
+        return self.encode_batch_finish(
+            self.encode_batch_submit(pc_params, symbols, centers))
+
+    # -- decode ---------------------------------------------------------------
+
+    def decode_batch_submit(self, pc_params, bitstreams, centers):
+        from . import codec as codec_lib
+        parsed = [codec_lib.deserialize_stream(bs) for bs in bitstreams]
+        latent_shape = parsed[0][0]
+        assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
+        b = len(parsed)
+        fwd, _, sched = self._kernels(latent_shape, b)
+        tables, _ = self._tables(latent_shape)
+        _, unpack_syms, _ = self._prep_fns(latent_shape, b)
+        weights = self._weights(pc_params, centers)
+
+        packed = np.zeros((b, sched.wcap, 1), np.uint32)
+        states = np.zeros((b, pk.R, 1), np.uint32)
+        for i, (_, stream_words, st, _crc) in enumerate(parsed):
+            assert len(st) == pk.R, (len(st), pk.R)
+            states[i, :, 0] = st
+            packed[i, :len(stream_words), 0] = stream_words
+        dummy_true = jnp.zeros((b, sched.T, sched.P_pad, 1), jnp.int32)
+        syms, _, _ = fwd(weights, tables, dummy_true, jnp.asarray(packed),
+                         jnp.asarray(states), jnp.zeros((1,), jnp.int32))
+        return (latent_shape, parsed, unpack_syms(syms))
+
+    def decode_batch_finish(self, handle, verify: bool = True):
+        from . import codec as codec_lib
+        latent_shape, parsed, packed_syms = handle
+        b = len(parsed)
+        out = np.asarray(jax.device_get(packed_syms), np.int32)
+        out = out.reshape((b,) + latent_shape)
+        if verify:
+            for i in range(b):
+                if codec_lib.symbol_crc(out[i]) != parsed[i][3]:
+                    raise ValueError(
+                        f'decode CRC mismatch for image {i}: corrupt stream, '
+                        'or decode ran with a different executable than encode')
+        return out
+
+    def decode_batch(self, pc_params, bitstreams, centers, verify=True):
+        return self.decode_batch_finish(
+            self.decode_batch_submit(pc_params, bitstreams, centers),
+            verify=verify)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fold_weights(pc, pc_config, kf, L, pc_params, centers):
+    """Folded weight pack for the kernel: masked taps zeroed, L1 expanded to
+    the Q_CH-replicated input layout, per-layer all-pad activation constants."""
+    from .cached import _layer_weights
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(pc_params, kf, L)
+    pad_value = pc_lib.auto_pad_value(pc_config, centers)
+    # L1 expansion: input ring carries Q_CH identical lanes; only lane 0
+    # of each tap group carries the weight.
+    w1e = jnp.zeros((18, pk.Q_CH, kf), jnp.float32).at[:, 0, :].set(
+        w1.reshape(18, kf)).reshape(18 * pk.Q_CH, kf)
+    # All-pad activation constants seed the rings (a VALID conv of a
+    # constant volume is constant; ref probclass.py:268-292 pad semantics).
+    patch = jnp.full((1, 5, 11, 11), pad_value, jnp.float32)
+    acts = pc.net.apply(pc_params, patch, return_activations=True)
+    k1 = acts['l1'][0, 0, 0, 0][None, :]
+    k2 = acts['l2'][0, 0, 0, 0][None, :]
+    k3 = acts['l3'][0, 0, 0, 0][None, :]
+    return (jnp.full((1,), pad_value, jnp.float32), w1e, b1[None, :],
+            w2, b2[None, :], w3, b3[None, :], w4, b4[None, :],
+            k1, k2, k3, centers[None, :])
