@@ -243,7 +243,7 @@ class CachedScanBuilder:
         def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
             (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(
                 pc_params, k_feats, L)
-            pad_value = pc_lib.auto_pad_value(pc_config, centers)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
 
             # Init: full conv pass over the constant-pad volume seeds every
             # cache cell whose cone never touches image content.

@@ -140,7 +140,7 @@ class LatentCodec:
         def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
             """mode: 0 = decode, 1 = encode (teacher-forced). Same executable
             for both — that is the bit-exactness guarantee."""
-            pad_value = pc_lib.auto_pad_value(self.pc_config, centers)
+            pad_value = pc_lib.auto_pad_value(self.pc_config, centers, pc_params)
             volume = jnp.full((flat_size,), pad_value, jnp.float32)
 
             def step(carry, x):

@@ -44,8 +44,7 @@ class PallasCoder:
     @functools.lru_cache(maxsize=8)
     def _tables(self, latent_shape):
         sched = pk.build_pallas_schedule(latent_shape)
-        return (jnp.asarray(sched.table), jnp.asarray(sched.active),
-                jnp.asarray(sched.active2d)), sched
+        return (jnp.asarray(sched.table), jnp.asarray(sched.active)), sched
 
     @functools.lru_cache(maxsize=8)
     def _prep_fns(self, latent_shape, b):
@@ -53,20 +52,20 @@ class PallasCoder:
         idx = jnp.asarray(sched.idx_map.reshape(-1))      # (T * P_pad,)
         n = int(np.prod(latent_shape))
         T, P_pad = sched.T, sched.P_pad
-        active = jnp.asarray(sched.active[None, :, :, 0] != 0)  # (1, T, P_pad)
+        active = jnp.asarray(sched.active[None, :, 0, :] != 0)  # (1, T, P_pad)
 
         @jax.jit
         def pack_true(symbols_flat):
-            # (B, n) int -> (B, T, P_pad, 1) i32 teacher symbols
+            # (B, n) int -> (B, T, 1, P_pad) i32 teacher symbols
             padded = jnp.concatenate(
                 [symbols_flat.astype(jnp.int32),
                  jnp.zeros((b, 1), jnp.int32)], axis=1)
             out = jnp.take(padded, idx, axis=1)
-            return out.reshape(b, T, P_pad, 1)
+            return out.reshape(b, T, 1, P_pad)
 
         @jax.jit
         def unpack_syms(sym_tp):
-            # (B, T, P_pad, 1) i32 -> (B, n) i32 latent volumes
+            # (B, T, 1, P_pad) i32 -> (B, n) i32 latent volumes
             flat = sym_tp.reshape(b, T * P_pad)
 
             def one(s):
@@ -108,8 +107,9 @@ class PallasCoder:
         weights = self._weights(pc_params, centers)
 
         true_syms = pack_true(jnp.asarray(symbols.reshape(b, -1)))
-        streams_dummy = jnp.zeros((b, sched.wcap, 1), jnp.uint32)
-        states_dummy = jnp.full((b, pk.R, 1), rans.RANS_L, jnp.uint32)
+        wrows = sched.wcap // 128 + 2
+        streams_dummy = jnp.zeros((b, wrows, 128), jnp.uint32)
+        states_dummy = jnp.full((b, 1, pk.R), rans.RANS_L, jnp.uint32)
         _, freq_sel, start_sel = fwd(weights, tables, true_syms,
                                      streams_dummy, states_dummy,
                                      jnp.ones((1,), jnp.int32))
@@ -125,8 +125,9 @@ class PallasCoder:
         n_words = np.asarray(n_words).reshape(b)
         states = np.asarray(states).reshape(b, pk.R)
         wmax = int(n_words.max()) if n_words.size else 0
-        wmax = min(max(128, pk._round_up(wmax, 128)), int(words.shape[1]))
-        host_words = np.asarray(jax.device_get(words[:, :wmax, 0]))
+        wrows = min(max(1, -(-wmax // 128)), int(words.shape[1]))
+        host_words = np.asarray(jax.device_get(words[:, :wrows, :]))
+        host_words = host_words.reshape(b, -1)
         results = []
         for i in range(b):
             stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
@@ -155,13 +156,15 @@ class PallasCoder:
         _, unpack_syms, _ = self._prep_fns(latent_shape, b)
         weights = self._weights(pc_params, centers)
 
-        packed = np.zeros((b, sched.wcap, 1), np.uint32)
-        states = np.zeros((b, pk.R, 1), np.uint32)
+        wrows = sched.wcap // 128 + 2
+        packed = np.zeros((b, wrows * 128), np.uint32)
+        states = np.zeros((b, 1, pk.R), np.uint32)
         for i, (_, stream_words, st, _crc) in enumerate(parsed):
             assert len(st) == pk.R, (len(st), pk.R)
-            states[i, :, 0] = st
-            packed[i, :len(stream_words), 0] = stream_words
-        dummy_true = jnp.zeros((b, sched.T, sched.P_pad, 1), jnp.int32)
+            states[i, 0, :] = st
+            packed[i, :len(stream_words)] = stream_words
+        packed = packed.reshape(b, wrows, 128)
+        dummy_true = jnp.zeros((b, sched.T, 1, sched.P_pad), jnp.int32)
         syms, _, _ = fwd(weights, tables, dummy_true, jnp.asarray(packed),
                          jnp.asarray(states), jnp.zeros((1,), jnp.int32))
         return (latent_shape, parsed, unpack_syms(syms))
@@ -192,7 +195,7 @@ def _fold_weights(pc, pc_config, kf, L, pc_params, centers):
     the Q_CH-replicated input layout, per-layer all-pad activation constants."""
     from .cached import _layer_weights
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(pc_params, kf, L)
-    pad_value = pc_lib.auto_pad_value(pc_config, centers)
+    pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
     # L1 expansion: input ring carries Q_CH identical lanes; only lane 0
     # of each tap group carries the weight.
     w1e = jnp.zeros((18, pk.Q_CH, kf), jnp.float32).at[:, 0, :].set(
@@ -201,9 +204,11 @@ def _fold_weights(pc, pc_config, kf, L, pc_params, centers):
     # constant volume is constant; ref probclass.py:268-292 pad semantics).
     patch = jnp.full((1, 5, 11, 11), pad_value, jnp.float32)
     acts = pc.net.apply(pc_params, patch, return_activations=True)
-    k1 = acts['l1'][0, 0, 0, 0][None, :]
-    k2 = acts['l2'][0, 0, 0, 0][None, :]
-    k3 = acts['l3'][0, 0, 0, 0][None, :]
-    return (jnp.full((1,), pad_value, jnp.float32), w1e, b1[None, :],
-            w2, b2[None, :], w3, b3[None, :], w4, b4[None, :],
-            k1, k2, k3, centers[None, :])
+    # Channel vectors are sublane-major (ch, 1) to match the transposed
+    # (channels, cells) plane layout of the kernel.
+    k1 = acts['l1'][0, 0, 0, 0][:, None]
+    k2 = acts['l2'][0, 0, 0, 0][:, None]
+    k3 = acts['l3'][0, 0, 0, 0][:, None]
+    return (jnp.full((1,), pad_value, jnp.float32), w1e, b1[:, None],
+            w2, b2[:, None], w3, b3[:, None], w4, b4[:, None],
+            k1, k2, k3, centers[:, None])

@@ -215,7 +215,7 @@ class RingScanBuilder:
         def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
             (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(
                 pc_params, kf, L)
-            pad_value = pc_lib.auto_pad_value(pc_config, centers)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
             k1, k2, k3 = _pad_constants(pc, pc_params, pad_value)
 
             r0 = jnp.full((2 * VR, D0, H0), pad_value, jnp.float32)

@@ -65,8 +65,10 @@ class EvalModel:
             x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
             centers = params['ae']['encoder']['centers']
             # bitcost from qbar at eval (ref: val.py:88)
-            bc = self.pc.bitcost({'params': params['pc']}, enc.qbar, enc.symbols,
-                                 pad_value=pc_lib.auto_pad_value(self.pc_config, centers))
+            bc = self.pc.bitcost(
+                {'params': params['pc']}, enc.qbar, enc.symbols,
+                pad_value=pc_lib.auto_pad_value(self.pc_config, centers,
+                                                {'params': params['pc']}))
             x_out_uint8 = x_out.astype(jnp.uint8)
             x_out_f = x_out_uint8.astype(jnp.float32)
             num_pixels = jnp.float32(h * w)

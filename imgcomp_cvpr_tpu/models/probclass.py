@@ -133,6 +133,14 @@ class ResShallow(nn.Module):
         With return_activations, returns a dict of per-layer outputs
         (used by the activation-cached codec to seed its caches)."""
         cfg = self.config
+        if getattr(cfg, 'learn_pad_var', False):
+            # Learnable pad value (ref: probclass.py:307-338 pc_pad_grad).
+            # Declared here so it lives in the PC param tree; consumed by
+            # auto_pad_value() before padding, with gradients flowing back
+            # through pad_volume's (v - pv) + pv formulation. NB the
+            # reference parses this key but its bitcost hardcodes
+            # learn_pad_var=False (ref: probclass.py:84) — we honor it.
+            self.param('pad_var', nn.initializers.zeros_init(), ())
         k = cfg.kernel_size
         x = volume[..., None]
         l1 = MaskedConv3D(cfg.arch_param__k, k, first=True, name='conv0')(x)
@@ -210,6 +218,18 @@ class ProbClassifier:
         return jnp.transpose(bc, (0, 2, 3, 1))  # back to NHWC
 
 
-def auto_pad_value(pc_config, centers: jax.Array):
-    """centers[0] if configured, else 0 (ref: probclass.py:59-61)."""
+def auto_pad_value(pc_config, centers: jax.Array, pc_params=None):
+    """Pad value for the context model's causal padding.
+
+    Priority: the learned pad variable when `learn_pad_var` is set (the
+    reference defines pc_pad_grad for this, ref: probclass.py:307-338, but
+    its bitcost hardcodes it off, ref: probclass.py:84 — here it is honored),
+    else centers[0] when `use_centers_for_padding`, else 0
+    (ref: probclass.py:59-61). Gradients flow into the returned value via
+    pad_volume's (v - pv) + pv formulation either way."""
+    if getattr(pc_config, 'learn_pad_var', False):
+        if pc_params is None:
+            raise ValueError('learn_pad_var=True requires pc_params to '
+                             'resolve the learned pad variable')
+        return pc_params['params']['pad_var']
     return centers[0] if pc_config.use_centers_for_padding else jnp.float32(0)

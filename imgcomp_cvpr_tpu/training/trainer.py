@@ -93,7 +93,8 @@ class Trainer:
             enc, x_out = self.ae.apply(ae_vars, x, train)
             new_stats = batch_stats
         centers = params['ae']['encoder']['centers']
-        pad_value = pc_lib.auto_pad_value(self.pc_config, centers)
+        pad_value = pc_lib.auto_pad_value(self.pc_config, centers,
+                                          {'params': params['pc']})
         # Train uses qbar with stopped gradient into the PC input
         # (ref: train.py:104-105); eval uses qhard (ref: val.py:88 uses qbar
         # for bitcost but qhard for decode; train-test graph uses qhard).
@@ -136,8 +137,10 @@ class Trainer:
         enc = self.ae.apply(ae_vars, batch, False, method='encode')
         x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
         centers = params['ae']['encoder']['centers']
-        bc = self.pc.bitcost({'params': params['pc']}, enc.qhard, enc.symbols,
-                             pad_value=pc_lib.auto_pad_value(self.pc_config, centers))
+        bc = self.pc.bitcost(
+            {'params': params['pc']}, enc.qhard, enc.symbols,
+            pad_value=pc_lib.auto_pad_value(self.pc_config, centers,
+                                            {'params': params['pc']}))
         _, d_comps = distortions_lib.compute(self.ae_config, batch, x_out,
                                              is_training=False)
         out = dict(d_comps)

@@ -1,0 +1,110 @@
+"""Pallas monolith codec tests (interpret mode on CPU).
+
+Oracles mirror the reference's runtime self-checks (ref:
+bit_counter.py:51-68): bit-exact symbol round trip, and theoretical bits
+consistent with the XLA 'direct' implementation's CDF tables.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imgcomp_cvpr_tpu.coding import codec as codec_lib
+from imgcomp_cvpr_tpu.coding import pallas_kernel as pk
+from imgcomp_cvpr_tpu.models import probclass as pc_lib
+from imgcomp_cvpr_tpu.utils import config as config_lib
+
+
+def _setup(shape=(4, 6, 7), L=6, k=8, seed=0, use_centers_pad=True):
+    pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    pc_config = pc_config.replace(arch_param__k=k,
+                                  use_centers_for_padding=use_centers_pad)
+    pc = pc_lib.ProbClassifier(pc_config, L)
+    rng = np.random.RandomState(seed)
+    pc_params = pc.init(jax.random.PRNGKey(seed + 1),
+                        (1, shape[1], shape[2], shape[0]))
+    centers = np.linspace(-2.0, 2.0, L).astype(np.float32)
+    return pc, pc_config, pc_params, centers, rng
+
+
+def test_schedule_invariants():
+    for shape in [(4, 6, 7), (3, 5, 5), (8, 4, 9)]:
+        sched = pk.build_pallas_schedule(shape)
+        n = int(np.prod(shape))
+        active = sched.active[:, 0, :] != 0
+        assert int(active.sum()) == n
+        # idx map is a permutation over active cells (asserted at build too)
+        on = np.sort(sched.idx_map[active])
+        np.testing.assert_array_equal(on, np.arange(n))
+        # sub-iteration flags cover every active cell
+        S, R = sched.S, pk.R
+        subit = sched.table[:, 0, pk._TBL_SUBIT:]
+        covered = np.repeat(subit, R, axis=1).astype(bool)
+        assert (covered | ~active).all()
+
+
+def test_pallas_roundtrip_bit_exact():
+    pc, cfg, params, centers, rng = _setup()
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_pallas_matches_direct_theoretical_bits():
+    pc, cfg, params, centers, rng = _setup(seed=3)
+    syms = rng.randint(0, 6, size=(1, 4, 6, 7)).astype(np.int8)
+    direct = codec_lib.LatentCodec(pc, cfg, impl='direct')
+    pallas = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    td = direct.encode_batch(params, syms, centers)[0].theoretical_bits
+    tp = pallas.encode_batch(params, syms, centers)[0].theoretical_bits
+    # Different float summation orders => CDFs may differ in ulp-edge cases.
+    assert abs(td - tp) / td < 2e-3, (td, tp)
+
+
+def test_pallas_zero_pad_value():
+    pc, cfg, params, centers, rng = _setup(use_centers_pad=False, seed=5)
+    syms = rng.randint(0, 6, size=(1, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_pallas_c64():
+    pc, cfg, params, centers, rng = _setup(shape=(9, 5, 6), seed=7)
+    syms = rng.randint(0, 6, size=(1, 9, 5, 6)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_container_self_routing():
+    """A pallas-encoded stream decodes through a ring-configured codec and
+    vice versa (container v4 impl id, VERDICT round-1 'format wart' fix)."""
+    pc, cfg, params, centers, rng = _setup(seed=9)
+    syms = rng.randint(0, 6, size=(1, 4, 6, 7)).astype(np.int8)
+    ring = codec_lib.LatentCodec(pc, cfg, impl='ring')
+    pallas = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res_p = pallas.encode_batch(params, syms, centers)
+    res_r = ring.encode_batch(params, syms, centers)
+    assert codec_lib.stream_impl_id(res_p[0].bitstream) == codec_lib.IMPL_PALLAS
+    assert codec_lib.stream_impl_id(res_r[0].bitstream) == codec_lib.IMPL_RING
+    dec_a = ring.decode_batch(params, [res_p[0].bitstream], centers)
+    dec_b = pallas.decode_batch(params, [res_r[0].bitstream], centers)
+    np.testing.assert_array_equal(dec_a[0], syms[0].astype(np.int32))
+    np.testing.assert_array_equal(dec_b[0], syms[0].astype(np.int32))
+
+
+def test_batch_size_independence():
+    """Pallas streams decode at any batch size (the batch index never enters
+    the kernel's per-step math)."""
+    pc, cfg, params, centers, rng = _setup(seed=11)
+    syms = rng.randint(0, 6, size=(3, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)      # encoded at B=3
+    one = codec.decode(params, res[1].bitstream, centers)  # decoded at B=1
+    np.testing.assert_array_equal(one, syms[1].astype(np.int32))
