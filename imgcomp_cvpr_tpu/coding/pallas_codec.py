@@ -49,9 +49,9 @@ class PallasCoder:
     @functools.lru_cache(maxsize=8)
     def _prep_fns(self, latent_shape, b):
         sched = pk.build_pallas_schedule(latent_shape)
-        idx = jnp.asarray(sched.idx_map.reshape(-1))      # (T * P_pad,)
+        idx = jnp.asarray(sched.idx_map.reshape(-1))      # (T_pad * P_pad,)
         n = int(np.prod(latent_shape))
-        T, P_pad = sched.T, sched.P_pad
+        T, P_pad = sched.idx_map.shape[0], sched.P_pad    # padded step count
         active = jnp.asarray(sched.active[None, :, 0, :] != 0)  # (1, T, P_pad)
 
         @jax.jit
@@ -65,13 +65,23 @@ class PallasCoder:
 
         @jax.jit
         def unpack_syms(sym_tp):
-            # (B, T, 1, P_pad) i32 -> (B, n) i32 latent volumes
+            # (B, T, 1, P_pad) i32 -> (B, n) int8 latent volumes (int8 keeps
+            # the host-link transfer at 1 byte/symbol; L <= 127 always)
             flat = sym_tp.reshape(b, T * P_pad)
 
             def one(s):
                 return jnp.zeros((n,), jnp.int32).at[idx].set(s, mode='drop')
 
-            return jax.vmap(one)(flat)
+            return jax.vmap(one)(flat).astype(jnp.int8)
+
+        @functools.partial(jax.jit, static_argnames=('nbucket',))
+        def pad_stream(words_bucket, nbucket):
+            # (B, nbucket) real words -> (B, wrows, 128) kernel buffer;
+            # only the real words cross the host link.
+            wrows = sched.wcap // 128 + 2
+            full = jnp.zeros((b, wrows * 128), jnp.uint32)
+            full = full.at[:, :nbucket].set(words_bucket)
+            return full.reshape(b, wrows, 128)
 
         @jax.jit
         def theoretical_bits(freq_sel):
@@ -80,7 +90,7 @@ class PallasCoder:
             bits = -jnp.log2(f / rans.SCALE)
             return jnp.sum(jnp.where(active, bits, 0.0), axis=(1, 2))
 
-        return pack_true, unpack_syms, theoretical_bits
+        return pack_true, unpack_syms, theoretical_bits, pad_stream
 
     def _weights(self, pc_params, centers):
         """Device-side weight folding + pad constants (tiny, jitted)."""
@@ -103,7 +113,7 @@ class PallasCoder:
         latent_shape = tuple(symbols.shape[1:])
         fwd, rev, sched = self._kernels(latent_shape, b)
         tables, _ = self._tables(latent_shape)
-        pack_true, _, theoretical_bits = self._prep_fns(latent_shape, b)
+        pack_true, _, theoretical_bits, _ = self._prep_fns(latent_shape, b)
         weights = self._weights(pc_params, centers)
 
         true_syms = pack_true(jnp.asarray(symbols.reshape(b, -1)))
@@ -153,19 +163,21 @@ class PallasCoder:
         b = len(parsed)
         fwd, _, sched = self._kernels(latent_shape, b)
         tables, _ = self._tables(latent_shape)
-        _, unpack_syms, _ = self._prep_fns(latent_shape, b)
+        _, unpack_syms, _, pad_stream = self._prep_fns(latent_shape, b)
         weights = self._weights(pc_params, centers)
 
-        wrows = sched.wcap // 128 + 2
-        packed = np.zeros((b, wrows * 128), np.uint32)
+        nmax = max([1] + [len(p_[1]) for p_ in parsed])
+        nbucket = min(pk._round_up(nmax, 4096), (sched.wcap // 128 + 2) * 128)
+        packed = np.zeros((b, nbucket), np.uint32)
         states = np.zeros((b, 1, pk.R), np.uint32)
         for i, (_, stream_words, st, _crc) in enumerate(parsed):
             assert len(st) == pk.R, (len(st), pk.R)
             states[i, 0, :] = st
             packed[i, :len(stream_words)] = stream_words
-        packed = packed.reshape(b, wrows, 128)
-        dummy_true = jnp.zeros((b, sched.T, 1, sched.P_pad), jnp.int32)
-        syms, _, _ = fwd(weights, tables, dummy_true, jnp.asarray(packed),
+        streams = pad_stream(jnp.asarray(packed), nbucket=nbucket)
+        dummy_true = jnp.zeros((b, sched.idx_map.shape[0], 1, sched.P_pad),
+                               jnp.int32)
+        syms, _, _ = fwd(weights, tables, dummy_true, streams,
                          jnp.asarray(states), jnp.zeros((1,), jnp.int32))
         return (latent_shape, parsed, unpack_syms(syms))
 

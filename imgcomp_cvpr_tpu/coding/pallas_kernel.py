@@ -68,10 +68,15 @@ _WINDOW = [(dz, dy, dx) for dz in range(2) for dy in range(3) for dx in range(3)
 _OFFS = [25 * dz + 5 * dy + dx for dz, dy, dx in _WINDOW]
 VR = 38                    # ring slots: window offsets span [-31, +6]
 _C = (124, 93, 62, 31, 0)  # v-row constant per level (q, L1..L4)
-R = 16                     # persistent rANS lanes
+R = 32                     # persistent rANS lanes
+K_STEPS = 8                # wavefront steps per grid iteration (pipeline amortization)
 Q_CH = 8                   # sublane replication of the scalar q ring
 
 _HIGH = jax.lax.Precision.HIGHEST
+
+# Debug ablation knob for perf triage (set before make_forward; affects
+# kernel structure only — never used in production paths).
+_ABLATE = 'full'
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,6 +97,7 @@ class PallasSchedule(NamedTuple):
     table: np.ndarray            # (T, 1, NS) int32 per-step scalars
     active: np.ndarray           # (T, 1, P_pad) int32 latent-cell mask
     idx_map: np.ndarray          # (T, P_pad) int32 -> flat latent idx (or n)
+    chunk_offs: Tuple[int, ...]  # static lane offsets of rANS sub-iterations
     wcap: int                    # stream word capacity (multiple of 128)
 
 
@@ -123,6 +129,17 @@ def _grids(latent_shape, p=4):
 _TBL_SKIP = 72
 _TBL_Q = 73
 _TBL_SUBIT = 74
+
+
+def _unmasked_taps(first: bool):
+    # Taps whose folded weights are not entirely zero (the last kernel
+    # depth slice is causally masked, ref: probclass.py:150-176); rolls
+    # for fully-masked taps are skipped — their X columns stay stale and
+    # multiply by exact zeros.
+    from ..models.probclass import spatial_mask
+    m = spatial_mask(3, first)
+    return [o for o, (dz, dy, dx) in enumerate(_WINDOW)
+            if dz == 0 or m[dy, dx] > 0]
 
 
 @functools.lru_cache(maxsize=8)
@@ -235,7 +252,32 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
 
     active = valid[:, None, :].astype(np.int32)       # (T, 1, P_pad)
     idx_map = flat.astype(np.int32)                   # (T, P_pad)
-    subit = valid.reshape(T, S, R).any(axis=2).astype(np.int32)
+
+    # Sub-iterations visit only lanes that can ever be active: R-wide chunks
+    # anchored at each band row (j < J[4]); dead j-lanes between rows are
+    # never processed. chunk_offs are static; per-(step, chunk) any-active
+    # flags let the kernel skip empty chunks (the reverse encoder reads the
+    # same flags, keeping the two bit-exactly in step).
+    row_span = -(-J[4] // R) * R
+    if row_span <= J_STORE and P_pad >= (DW[4] - 1) * J_STORE + row_span:
+        # Row-anchored chunks: disjoint by construction (span fits the
+        # stride), and every j >= J[4] dead lane is skipped.
+        chunk_offs = tuple(dd * J_STORE + c * R
+                           for dd in range(DW[4])
+                           for c in range(row_span // R))
+    else:
+        # Small strides (tiny shapes): plain sequential coverage.
+        chunk_offs = tuple(off for off in range(0, P_pad, R))
+    S = len(chunk_offs)
+    covered = np.zeros(P_pad, bool)
+    overlap = np.zeros(P_pad, np.int32)
+    for off in chunk_offs:
+        covered[off:off + R] = True
+        overlap[off:off + R] += 1
+    assert (covered | ~valid.any(axis=0)).all(), 'chunks miss active lanes'
+    assert (overlap <= 1).all(), 'overlapping rANS chunks'
+    subit = np.stack([valid[:, off:off + R].any(axis=1)
+                      for off in chunk_offs], axis=1).astype(np.int32)
 
     NS = _TBL_SUBIT + S
     table = np.zeros((T, 1, NS), np.int32)
@@ -246,11 +288,25 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
     table[:, 0, _TBL_Q] = q_sd * J_STORE + q_sj
     table[:, 0, _TBL_SUBIT:] = subit
 
+    # Pad the step axis to a multiple of K_STEPS (the kernels process
+    # K_STEPS wavefront steps per grid iteration to amortize the per-step
+    # pipeline overhead). Padded steps have no active cells and all
+    # sub-iteration flags zero — pure no-ops.
+    T_pad = _round_up(T, K_STEPS)
+    if T_pad != T:
+        table = np.concatenate(
+            [table, np.zeros((T_pad - T, 1, NS), np.int32)], axis=0)
+        active = np.concatenate(
+            [active, np.zeros((T_pad - T, 1, P_pad), np.int32)], axis=0)
+        idx_map = np.concatenate(
+            [idx_map, np.full((T_pad - T, P_pad), n, np.int32)], axis=0)
+
     wcap = _round_up(n + 2 * R, 128)
     return PallasSchedule(latent_shape=latent_shape, T=T, J_STORE=J_STORE,
                           P=P, P_pad=P_pad, S=S, DW=tuple(DW), J=tuple(J),
                           lanes=lanes, plane=tuple(plane), table=table,
-                          active=active, idx_map=idx_map, wcap=wcap)
+                          active=active, idx_map=idx_map,
+                          chunk_offs=chunk_offs, wcap=wcap)
 
 
 # ---------------------------------------------------------------------------
@@ -329,12 +385,14 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     sched = build_pallas_schedule(latent_shape)
     T, P, P_pad, S = sched.T, sched.P, sched.P_pad, sched.S
     DW, lanes, plane = sched.DW, sched.lanes, sched.plane
+    chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
     wrows = sched.wcap // 128 + 2
     K1 = 18 * Q_CH
     K = 18 * kf
     assert L >= 2
 
+    ablate = _ABLATE
     if interpret:
         def _roll(x, s, total=None):
             return jnp.roll(x, s, 1)
@@ -349,10 +407,9 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                act_ref, true_ref, stream_ref, inst_ref,
                sym_out, fsel_out, ssel_out,
                r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
-        t = pl.program_id(1)
-        slot = jax.lax.rem(t, VR)
+        tb = pl.program_id(1)
 
-        @pl.when(t == 0)
+        @pl.when(tb == 0)
         def _init():
             r0[:] = jnp.zeros(r0.shape, jnp.float32) + pad_ref[0]
             r1[:] = jnp.zeros(r1.shape, jnp.float32) + k1_ref[:][:, 0:1]
@@ -361,24 +418,72 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             states_s[:] = inst_ref[0]
             gptr_s[0] = 0
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
+            X[:] = jnp.zeros(X.shape, jnp.float32)
+            vals[:] = jnp.zeros(vals.shape, jnp.float32)
 
-        rows = [jax.lax.rem(t + 2 * VR - 31 + off, VR) for off in _OFFS]
+        if ablate == 'empty':
+            # Floor measurement: touch every streamed ref once, no compute.
+            z = (table_ref[0, 0, 0] + mode_ref[0]
+                 + act_ref[0, 0, 0] + true_ref[0, 0, 0, 0]
+                 + inst_ref[0, 0, 0].astype(jnp.int32)
+                 + stream_ref[0, 0, 0].astype(jnp.int32))
+            zz = jnp.zeros((1, R), jnp.int32) + z
+            sym_out[0, 0, :, 0:R] = zz
+            fsel_out[0, 0, :, 0:R] = zz.astype(jnp.uint32)
+            ssel_out[0, 0, :, 0:R] = zz.astype(jnp.uint32)
+            return
+
+        for k in range(K_STEPS):
+            _one_step(k, tb, table_ref, mode_ref, pad_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                      w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
+                      act_ref, true_ref, stream_ref,
+                      sym_out, fsel_out, ssel_out,
+                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
+
+    def _one_step(k, tb, table_ref, mode_ref, pad_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                  w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
+                  act_ref, true_ref, stream_ref,
+                  sym_out, fsel_out, ssel_out,
+                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
+        t = tb * K_STEPS + k
+        slot = jax.lax.rem(t, VR)
+        rows = [jax.lax.rem(t + 8 * VR - 31 + off, VR) for off in _OFFS]
 
         def fill_X(ring, li, width, ch):
             # Dynamic lane-offset reads are not lowerable; a full-row
             # dynamic roll + static slice is (and wrapped lanes only ever
             # land on dead cells, which stay finite by construction).
-            for o in range(18):
-                sh = table_ref[0, 0, 18 * (li - 1) + o]
+            # Fully-masked taps are skipped: their folded weights are exact
+            # zeros, so the stale (finite) X columns contribute nothing.
+            taps = _unmasked_taps(first=(li == 1))
+            if ablate == 'notaps':
+                taps = taps[:1]
+            for o in taps:
+                sh = table_ref[k, 0, 18 * (li - 1) + o]
                 row = _roll(ring[rows[o]], -sh)
                 X[o * ch:(o + 1) * ch, 0:width] = row[:, 0:width]
 
         def layer_dot(w_ref, b_ref, kdim, width):
+            if ablate == 'nodot':
+                return jnp.zeros((b_ref.shape[0], width), jnp.float32) + b_ref[:]
+            if ablate == 'bf16dot':
+                return jax.lax.dot_general(
+                    w_ref[:].astype(jnp.bfloat16),
+                    X[0:kdim, 0:width].astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b_ref[:]
             return jax.lax.dot_general(
                 w_ref[:], X[0:kdim, 0:width], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_ref[:]
 
         # Layer 1 (q ring rows carry Q_CH replicated sublanes).
+        if ablate == 'noconv':
+            def fill_X(ring, li, width, ch):
+                pass
+            def layer_dot(w_ref, b_ref, kdim, width):
+                return jnp.zeros((b_ref.shape[0], width), jnp.float32) + b_ref[:]
         fill_X(r0, 1, plane[1], Q_CH)
         y1 = jax.nn.relu(layer_dot(w1_ref, b1_ref, K1, plane[1]))
         y1s[:, 0:plane[1]] = y1
@@ -391,7 +496,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
         # Layer 3 (+ residual skip from this step's y1, no relu).
         fill_X(r2, 3, plane[3], kf)
-        skip = _roll(y1s[:], -table_ref[0, 0, _TBL_SKIP])[:, 0:plane[3]]
+        skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])[:, 0:plane[3]]
         y3 = layer_dot(w3_ref, b3_ref, K, plane[3]) + skip
         r3[slot, :, 0:plane[3]] = y3
 
@@ -405,14 +510,13 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         mode = mode_ref[0]
         lidx = jax.lax.broadcasted_iota(jnp.int32, (L, R), 0)
 
-        for si in range(S):
-            base = si * R
+        for si, base in enumerate(chunk_offs):
 
-            @pl.when(table_ref[0, 0, _TBL_SUBIT + si] != 0)
+            @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
             def _sub(base=base):
                 fq = freq[:, base:base + R]                  # (L, R) i32
                 cl = cdf[:, base:base + R]
-                a = act_ref[0, :, base:base + R] != 0        # (1, R)
+                a = act_ref[k, :, base:base + R] != 0        # (1, R)
                 st = states_s[:]                             # (1, R) u32
                 slot_u = st & jnp.uint32(rans.SCALE - 1)
                 slot_i = slot_u.astype(jnp.int32)
@@ -423,24 +527,25 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 sd = jnp.sum(jnp.where(ohd, cl, 0), axis=0, keepdims=True)
                 x = (fd.astype(jnp.uint32) * (st >> rans.SCALE_BITS)
                      + slot_u - sd.astype(jnp.uint32))
-                need = a & (x < jnp.uint32(rans.RANS_L))
-                ni = need.astype(jnp.int32)
-                rank = _excl_rank(ni)
-                total = jnp.sum(ni)
-                gp = gptr_s[0]
-                grow = gp // 128
-                goff = gp - grow * 128
-                row0 = stream_ref[0, pl.ds(grow, 1), :].astype(jnp.int32)
-                row1 = stream_ref[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
-                pos = jnp.where(need, goff + rank, -1)
-                wsel = _gather_words(row0, row1, pos)
-                x = jnp.where(need,
-                              (x << rans.WORD_BITS) | wsel.astype(jnp.uint32),
-                              x)
-                states_s[:] = jnp.where(a, x, st)
-                gptr_s[0] = gp + total
+                if ablate != 'norans':
+                    need = a & (x < jnp.uint32(rans.RANS_L))
+                    ni = need.astype(jnp.int32)
+                    rank = _excl_rank(ni)
+                    total = jnp.sum(ni)
+                    gp = gptr_s[0]
+                    grow = gp // 128
+                    goff = gp - grow * 128
+                    row0 = stream_ref[0, pl.ds(grow, 1), :].astype(jnp.int32)
+                    row1 = stream_ref[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
+                    pos = jnp.where(need, goff + rank, -1)
+                    wsel = _gather_words(row0, row1, pos)
+                    x = jnp.where(need,
+                                  (x << rans.WORD_BITS)
+                                  | wsel.astype(jnp.uint32), x)
+                    states_s[:] = jnp.where(a, x, st)
+                    gptr_s[0] = gp + total
 
-                sym_true = true_ref[0, 0, :, base:base + R]  # (1, R) i32
+                sym_true = true_ref[0, k, :, base:base + R]  # (1, R) i32
                 sym = jnp.where(mode == 1, sym_true, symd)
                 sym = jnp.where(a, sym, 0)
                 ohs = lidx == sym
@@ -448,32 +553,33 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 ssel = jnp.sum(jnp.where(ohs, cl, 0), axis=0, keepdims=True)
                 vals[:, base:base + R] = jnp.sum(
                     jnp.where(ohs, centers_ref[:], 0.0), axis=0, keepdims=True)
-                sym_out[0, 0, :, base:base + R] = sym
-                fsel_out[0, 0, :, base:base + R] = fsel.astype(jnp.uint32)
-                ssel_out[0, 0, :, base:base + R] = ssel.astype(jnp.uint32)
+                sym_out[0, k, :, base:base + R] = sym
+                fsel_out[0, k, :, base:base + R] = fsel.astype(jnp.uint32)
+                ssel_out[0, k, :, base:base + R] = ssel.astype(jnp.uint32)
 
-            @pl.when(table_ref[0, 0, _TBL_SUBIT + si] == 0)
+            @pl.when(table_ref[k, 0, _TBL_SUBIT + si] == 0)
             def _skip(base=base):
                 zero = jnp.zeros((1, R), jnp.int32)
-                sym_out[0, 0, :, base:base + R] = zero
-                fsel_out[0, 0, :, base:base + R] = zero.astype(jnp.uint32)
-                ssel_out[0, 0, :, base:base + R] = zero.astype(jnp.uint32)
+                sym_out[0, k, :, base:base + R] = zero
+                fsel_out[0, k, :, base:base + R] = zero.astype(jnp.uint32)
+                ssel_out[0, k, :, base:base + R] = zero.astype(jnp.uint32)
                 vals[:, base:base + R] = jnp.zeros((1, R), jnp.float32)
 
         # Q-row write: the latent rectangle at lanes [0, P_pad) of a
         # pad-valued row, rotated into place (dynamic stores at lane
         # granularity are not lowerable either).
         pad = pad_ref[0]
-        rect = jnp.where(act_ref[0] != 0, vals[:], pad)      # (1, P_pad)
+        rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, P_pad)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes[0]), 1)
         rect_full = jnp.pad(rect, ((0, 0), (0, lanes[0] - P_pad)))
         row = jnp.where(lane < P_pad, rect_full, pad)
         r0[slot] = jnp.zeros((Q_CH, lanes[0]), jnp.float32) + _roll(
-            row, table_ref[0, 0, _TBL_Q])
+            row, table_ref[k, 0, _TBL_Q])
 
-    grid = (B, T)
+    TB = sched.table.shape[0] // K_STEPS
+    grid = (B, TB)
     in_specs = [
-        pl.BlockSpec((1, 1, NS), lambda b, t: (t, 0, 0),
+        pl.BlockSpec((K_STEPS, 1, NS), lambda b, t: (t, 0, 0),
                      memory_space=pltpu.SMEM),                         # table
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # mode
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # pad
@@ -489,16 +595,18 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k2
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k3
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # centers
-        pl.BlockSpec((1, 1, P_pad), lambda b, t: (t, 0, 0)),           # active
-        pl.BlockSpec((1, 1, 1, P_pad), lambda b, t: (b, t, 0, 0)),     # true
+        pl.BlockSpec((K_STEPS, 1, P_pad), lambda b, t: (t, 0, 0)),     # active
+        pl.BlockSpec((1, K_STEPS, 1, P_pad), lambda b, t: (b, t, 0, 0)),  # true
         pl.BlockSpec((1, wrows, 128), lambda b, t: (b, 0, 0)),         # stream
         pl.BlockSpec((1, 1, R), lambda b, t: (b, 0, 0)),               # states
     ]
-    out_specs = tuple(pl.BlockSpec((1, 1, 1, P_pad), lambda b, t: (b, t, 0, 0))
-                      for _ in range(3))
-    out_shape = (jax.ShapeDtypeStruct((B, T, 1, P_pad), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T, 1, P_pad), jnp.uint32),
-                 jax.ShapeDtypeStruct((B, T, 1, P_pad), jnp.uint32))
+    out_specs = tuple(
+        pl.BlockSpec((1, K_STEPS, 1, P_pad), lambda b, t: (b, t, 0, 0))
+        for _ in range(3))
+    T_pad = TB * K_STEPS
+    out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32),
+                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.uint32),
+                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.uint32))
     X_K = max(K, K1)
     scratch = [
         pltpu.VMEM((VR, Q_CH, lanes[0]), jnp.float32),   # r0
@@ -540,30 +648,39 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
     decode-order stream is the first n words flattened, reversed."""
     sched = build_pallas_schedule(latent_shape)
     T, P_pad, S = sched.T, sched.P_pad, sched.S
+    chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
     wrows = sched.wcap // 128 + 2
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
                words_out, nw_out, st_out, states_s, gw_s):
-        t = pl.program_id(1)
+        tb = pl.program_id(1)
 
-        @pl.when(t == 0)
+        @pl.when(tb == 0)
         def _init():
             states_s[:] = jnp.full((1, R), rans.RANS_L, jnp.uint32)
             gw_s[0] = 0
             words_out[:] = jnp.zeros(words_out.shape, jnp.uint32)
 
-        for si in range(S - 1, -1, -1):
-            base = si * R
+        for k in range(K_STEPS - 1, -1, -1):
+            _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
+                      words_out, states_s, gw_s)
+        nw_out[:] = jnp.zeros((1, 1, 1), jnp.int32) + gw_s[0]
+        st_out[0] = states_s[:]
 
-            @pl.when(table_ref[0, 0, _TBL_SUBIT + si] != 0)
+    def _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
+                  words_out, states_s, gw_s):
+        for si in range(S - 1, -1, -1):
+            base = chunk_offs[si]
+
+            @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
             def _sub(base=base):
                 # freq < 2^16 fits i32; unsigned max is not lowerable.
                 f = jnp.maximum(
-                    fsel_ref[0, 0, :, base:base + R].astype(jnp.int32),
+                    fsel_ref[0, k, :, base:base + R].astype(jnp.int32),
                     1).astype(jnp.uint32)                    # (1, R)
-                sv = ssel_ref[0, 0, :, base:base + R]
-                a = act_ref[0, :, base:base + R] != 0
+                sv = ssel_ref[0, k, :, base:base + R]
+                a = act_ref[k, :, base:base + R] != 0
                 st = states_s[:]
                 emit = a & (st >= (f << rans.WORD_BITS))
                 word = (st & jnp.uint32(rans.WORD_MASK)).astype(jnp.int32)
@@ -588,16 +705,16 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                 states_s[:] = jnp.where(a, xn, st)
                 gw_s[0] = gw + total
 
-        nw_out[:] = jnp.zeros((1, 1, 1), jnp.int32) + gw_s[0]
-        st_out[0] = states_s[:]
-
-    grid = (B, T)
+    TB = sched.table.shape[0] // K_STEPS
+    grid = (B, TB)
     in_specs = [
-        pl.BlockSpec((1, 1, NS), lambda b, t: (T - 1 - t, 0, 0),
+        pl.BlockSpec((K_STEPS, 1, NS), lambda b, t: (TB - 1 - t, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, P_pad), lambda b, t: (T - 1 - t, 0, 0)),
-        pl.BlockSpec((1, 1, 1, P_pad), lambda b, t: (b, T - 1 - t, 0, 0)),
-        pl.BlockSpec((1, 1, 1, P_pad), lambda b, t: (b, T - 1 - t, 0, 0)),
+        pl.BlockSpec((K_STEPS, 1, P_pad), lambda b, t: (TB - 1 - t, 0, 0)),
+        pl.BlockSpec((1, K_STEPS, 1, P_pad),
+                     lambda b, t: (b, TB - 1 - t, 0, 0)),
+        pl.BlockSpec((1, K_STEPS, 1, P_pad),
+                     lambda b, t: (b, TB - 1 - t, 0, 0)),
     ]
     out_specs = (pl.BlockSpec((1, wrows, 128), lambda b, t: (b, 0, 0)),
                  pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),

@@ -1,40 +1,53 @@
-"""Validation dataset-name resolution (ref: val_images.py:6-44)."""
+"""Resolve a validation-image spec into concrete file paths.
+
+A spec is one of: a registered dataset alias, a directory of PNGs, or a
+glob pattern. The (paths, short-name) contract matches the reference CLI
+surface (ref: val_images.py:12-24); the short name keys validation output
+directories and the baseline-codec measure tables, so it must be stable.
+"""
 
 from __future__ import annotations
 
-from glob import glob
-from os import path
+import glob as globlib
+import os
 from typing import List, Tuple
 
 from ..utils import constants
 
-KNOWN_DATASETS = {
-    'kodak': path.join(constants.VALIDATION_DATASETS_ROOT, 'kodak', '*.png'),
-    'testset': path.join(constants.VALIDATION_DATASETS_ROOT,
-                         'imagenet_256_train_val_128x128__100', '*.png'),
+_ALIASES = {
+    'kodak': ('kodak', '*.png'),
+    'testset': ('imagenet_256_train_val_128x128__100', '*.png'),
 }
 
 
-def get_image_paths(images: str) -> Tuple[List[str], str]:
-    """images: a KNOWN_DATASETS key, a dir of PNGs, or a glob.
-    Returns (sorted image paths, dataset short name)."""
-    images_glob, dataset_name = _get_glob_and_name(images)
-    image_paths = sorted(glob(images_glob))
-    if len(image_paths) == 0:
-        raise ValueError(f'Not matching any files: {images_glob}')
-    return image_paths, dataset_name
+def dataset_glob(alias: str) -> str:
+    sub, pattern = _ALIASES[alias]
+    return os.path.join(constants.VALIDATION_DATASETS_ROOT, sub, pattern)
 
 
-def _get_glob_and_name(images: str) -> Tuple[str, str]:
-    if images in KNOWN_DATASETS:
-        return KNOWN_DATASETS[images], images
-    if '*' not in images:
-        images = path.join(images, '*.png')
-    return images, get_path_component_before_glob(images)
+def get_image_paths(spec: str) -> Tuple[List[str], str]:
+    """spec -> (sorted image paths, dataset short name)."""
+    if spec in _ALIASES:
+        pattern, name = dataset_glob(spec), spec
+    elif any(ch in spec for ch in '*?['):
+        pattern, name = spec, _name_from_pattern(spec)
+    else:  # a plain directory
+        pattern = os.path.join(spec, '*.png')
+        name = os.path.basename(os.path.normpath(spec))
+    paths = sorted(globlib.glob(pattern))
+    if not paths:
+        raise ValueError(f'Not matching any files: {pattern}')
+    return paths, name
 
 
-def get_path_component_before_glob(p: str) -> str:
-    for comp in reversed(p.strip(path.sep).split(path.sep)):
-        if '*' not in comp:
+def _name_from_pattern(pattern: str) -> str:
+    """Deepest literal path component of a glob, used as the dataset name."""
+    parts = os.path.normpath(pattern).split(os.sep)
+    for comp in reversed(parts):
+        if comp and not any(ch in comp for ch in '*?['):
             return comp
-    raise ValueError(f'No component without *: {p}')
+    raise ValueError(f'No literal path component in: {pattern}')
+
+
+# Back-compat alias for the registry of known datasets.
+KNOWN_DATASETS = {k: dataset_glob(k) for k in _ALIASES}

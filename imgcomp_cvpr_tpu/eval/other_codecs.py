@@ -63,21 +63,111 @@ def _pil_roundtrip(img: np.ndarray, fmt: str, **save_kwargs
     return out, nbytes * 8 / _num_pixels(img)
 
 
+def jpeg_content_length(data: bytes) -> int:
+    """Bytes of JPEG entropy-coded content: everything between the
+    start-of-scan marker (FF DA) and the trailing EOI marker. Same
+    accounting as the reference's header scan (ref: other_codecs.py:244-263)
+    — JPEG bpp is computed from content, not file size."""
+    sos = data.find(b'\xff\xda')
+    if sos < 0:
+        raise ValueError('no start-of-scan marker: not a JPEG?')
+    # content runs from the byte after the marker to just before FF D9
+    return len(data) - (sos + 1) - 2
+
+
 def jp_compress(img: np.ndarray, quality: int) -> Tuple[np.ndarray, float]:
-    return _pil_roundtrip(img, 'JPEG', quality=int(quality))
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, 'JPEG', quality=int(quality))
+    data = buf.getvalue()
+    buf.seek(0)
+    with Image.open(buf) as im:
+        out = np.asarray(im.convert('RGB'), np.uint8)
+    return out, jpeg_content_length(data) * 8 / _num_pixels(img)
 
 
 def webp_compress(img: np.ndarray, quality: int) -> Tuple[np.ndarray, float]:
     return _pil_roundtrip(img, 'WEBP', quality=int(quality), method=4)
 
 
+KDU_COMPRESS = os.environ.get('KDU_COMPRESS', 'kdu_compress')
+KDU_EXPAND = os.environ.get('KDU_EXPAND', 'kdu_expand')
+
+
+def kakadu_available() -> bool:
+    return (shutil.which(KDU_COMPRESS) is not None
+            and shutil.which(KDU_EXPAND) is not None)
+
+
+def jp2k_compress_kakadu(img: np.ndarray, target_bpp: float
+                         ) -> Tuple[np.ndarray, float]:
+    """JPEG2000 via the kakadu binaries when installed — the reference's
+    backend (ref: other_codecs.py:190-199); actual bpp parsed from
+    kdu_compress's codestream report."""
+    import re
+    from PIL import Image
+    with tempfile.TemporaryDirectory() as d:
+        in_p = os.path.join(d, 'in.bmp')   # kdu wants bmp/tif/pgm/ppm
+        j2_p = os.path.join(d, 'out.jp2')
+        out_p = os.path.join(d, 'out.bmp')
+        Image.fromarray(img).save(in_p)
+        out = subprocess.check_output(
+            [KDU_COMPRESS, '-i', in_p, '-o', j2_p,
+             '-rate', str(float(target_bpp)), '-no_weights']).decode()
+        m = re.search(r'Compressed bytes \(excludes codestream headers\)'
+                      r' = .*=\s(.*)\sbpp', out)
+        actual_bpp = float(m.group(1))
+        subprocess.check_call([KDU_EXPAND, '-i', j2_p, '-o', out_p])
+        decoded = _load_rgb(out_p)
+    return decoded, actual_bpp
+
+
 def jp2k_compress(img: np.ndarray, target_bpp: float) -> Tuple[np.ndarray, float]:
-    """JPEG2000 at a target rate. Pillow's ``quality_layers`` with
-    ``quality_mode='rates'`` takes a compression *ratio*; 24-bit RGB at
-    ratio r gives 24/r bpp."""
+    """JPEG2000 at a target rate: kakadu when installed, else Pillow
+    (``quality_layers`` with ``quality_mode='rates'`` takes a compression
+    *ratio*; 24-bit RGB at ratio r gives 24/r bpp)."""
+    if kakadu_available():
+        return jp2k_compress_kakadu(img, target_bpp)
     ratio = 24.0 / float(target_bpp)
     return _pil_roundtrip(img, 'JPEG2000', quality_mode='rates',
                           quality_layers=[ratio], irreversible=True)
+
+
+class BPGInfo:
+    """Parsed BPG container header (format: magic, 2 flag bytes, then
+    ue7-coded width / height / picture_data_length; a zero length means
+    the picture runs to EOF). BPG bpp is computed from the PICTURE payload,
+    not the file size — the container header would bias small images
+    (ref behavior: other_codecs.py:422-463)."""
+
+    MAGIC = bytes.fromhex('425047fb')
+
+    def __init__(self, data: bytes):
+        if data[:4] != self.MAGIC:
+            raise ValueError('not a BPG bitstream')
+        pos = 6  # magic + pixel_format/alpha byte + bit_depth/color byte
+        self.width, pos = _take_ue7(data, pos)
+        self.height, pos = _take_ue7(data, pos)
+        pic_len, pos = _take_ue7(data, pos)
+        self.picture_bytes = pic_len if pic_len else len(data) - pos
+        self.bpp = self.picture_bytes * 8 / float(self.width * self.height)
+
+
+def _take_ue7(data: bytes, pos: int) -> Tuple[int, int]:
+    """Decode one ue7 varint (7 value bits per byte, MSB = continuation)
+    starting at pos; returns (value, next_pos)."""
+    value = 0
+    while True:
+        byte = data[pos]
+        pos += 1
+        value = (value << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            return value, pos
+
+
+def bpg_bpp_from_file(bpg_p: str) -> float:
+    with open(bpg_p, 'rb') as f:
+        return BPGInfo(f.read()).bpp
 
 
 def bpg_available() -> bool:
@@ -95,10 +185,10 @@ def bpg_compress(img: np.ndarray, q: int) -> Tuple[np.ndarray, float]:
         out_p = os.path.join(d, 'out.png')
         Image.fromarray(img).save(in_p)
         subprocess.check_call(['bpgenc', '-q', str(int(q)), '-o', bpg_p, in_p])
-        nbytes = os.path.getsize(bpg_p)
+        bpp = bpg_bpp_from_file(bpg_p)   # picture payload, not file size
         subprocess.check_call(['bpgdec', '-o', out_p, bpg_p])
         out = _load_rgb(out_p)
-    return out, nbytes * 8 / _num_pixels(img)
+    return out, bpp
 
 
 CODEC_FNS: dict = {

@@ -71,7 +71,7 @@ def test_codec_distance(tmp_path, monkeypatch):
     from imgcomp_cvpr_tpu.utils import constants
     monkeypatch.setattr(constants, 'OTHER_CODECS_ROOT', str(root))
     cd = codec_distance.CodecDistance('kodak', 'jp', 'ms-ssim')
-    mid_bpp = 0.5 * (cd.f_bpp_metric.x[0] + cd.f_bpp_metric.x[-1])
+    mid_bpp = 0.5 * (cd._grid[0] + cd._grid[-1])
     d_good = cd.distance(mid_bpp, 1.0)
     d_bad = cd.distance(mid_bpp, 0.0)
     assert d_good > 0 > d_bad
@@ -146,3 +146,49 @@ def test_full_analysis_path(tmp_path, monkeypatch):
                                plot_mean_of_ours=True,
                                output_path=out, paper_plot=True)
     assert os.path.getsize(out) > 1000
+
+
+def test_bpg_header_parser():
+    """Crafted BPG header: ue7 varints for width/height/picture length
+    (behavioral port of ref other_codecs.py:422-463)."""
+    def ue7(v):
+        out = []
+        while True:
+            out.append(v & 0x7F)
+            v >>= 7
+            if not v:
+                break
+        return bytes(b | 0x80 for b in out[:0:-1]) + bytes(out[:1])
+
+    assert ue7(1218) == bytes([0b10001001, 0b01000010])  # ref docstring example
+    payload = b'\x42' * 321
+    data = (other_codecs.BPGInfo.MAGIC + b'\x00\x00'
+            + ue7(768) + ue7(512) + ue7(321) + payload + b'trailer-ignored')
+    info = other_codecs.BPGInfo(data)
+    assert (info.width, info.height, info.picture_bytes) == (768, 512, 321)
+    assert abs(info.bpp - 321 * 8 / (768 * 512)) < 1e-9
+    # zero picture length => picture runs to EOF
+    data2 = (other_codecs.BPGInfo.MAGIC + b'\x00\x00'
+             + ue7(16) + ue7(16) + ue7(0) + b'\x01' * 77)
+    assert other_codecs.BPGInfo(data2).picture_bytes == 77
+    try:
+        other_codecs.BPGInfo(b'NOPE' + data[4:])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError('bad magic accepted')
+
+
+def test_jpeg_content_length():
+    import io
+    from PIL import Image
+    img = _img(3, 64, 64)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, 'JPEG', quality=80)
+    data = buf.getvalue()
+    n = other_codecs.jpeg_content_length(data)
+    assert 0 < n < len(data)
+    assert data.rstrip(b'\x00')[-2:] == b'\xff\xd9'
+    # bpp used by jp_compress must match the scan
+    out, bpp = other_codecs.jp_compress(img, 80)
+    assert abs(bpp - n * 8 / (64 * 64)) < 1e-9

@@ -37,10 +37,12 @@ def test_schedule_invariants():
         # idx map is a permutation over active cells (asserted at build too)
         on = np.sort(sched.idx_map[active])
         np.testing.assert_array_equal(on, np.arange(n))
-        # sub-iteration flags cover every active cell
-        S, R = sched.S, pk.R
-        subit = sched.table[:, 0, pk._TBL_SUBIT:]
-        covered = np.repeat(subit, R, axis=1).astype(bool)
+        # sub-iteration chunks are disjoint and their flags cover every
+        # active cell
+        subit = sched.table[:, 0, pk._TBL_SUBIT:].astype(bool)
+        covered = np.zeros_like(active)
+        for si, off in enumerate(sched.chunk_offs):
+            covered[:, off:off + pk.R] |= subit[:, si:si + 1]
         assert (covered | ~active).all()
 
 
