@@ -35,13 +35,14 @@ streams_dummy = jnp.zeros((1, wrows, 128), jnp.uint32)
 states_dummy = jnp.full((1, 1, pk.R), rans.RANS_L, jnp.uint32)
 mode1 = jnp.ones((1,), jnp.int32)
 
-def timeit(fn, *args, n=3):
+def timeit(fn, *args, n=8):
+    # Pipelined: block once at the end — the axon tunnel's per-call sync
+    # round-trip is ~35 ms and must not be counted per call.
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(n)]
+    jax.block_until_ready(outs[-1])
     return (time.time() - t0) / n
 
 for ablate in (sys.argv[1:] or ['full', 'norans', 'noconv']):

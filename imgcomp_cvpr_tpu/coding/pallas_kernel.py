@@ -429,8 +429,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                  + stream_ref[0, 0, 0].astype(jnp.int32))
             zz = jnp.zeros((1, R), jnp.int32) + z
             sym_out[0, 0, :, 0:R] = zz
-            fsel_out[0, 0, :, 0:R] = zz.astype(jnp.uint32)
-            ssel_out[0, 0, :, 0:R] = zz.astype(jnp.uint32)
+            fsel_out[0, 0, :, 0:R] = zz
+            ssel_out[0, 0, :, 0:R] = zz
             return
 
         for k in range(K_STEPS):
@@ -554,15 +554,15 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 vals[:, base:base + R] = jnp.sum(
                     jnp.where(ohs, centers_ref[:], 0.0), axis=0, keepdims=True)
                 sym_out[0, k, :, base:base + R] = sym
-                fsel_out[0, k, :, base:base + R] = fsel.astype(jnp.uint32)
-                ssel_out[0, k, :, base:base + R] = ssel.astype(jnp.uint32)
+                fsel_out[0, k, :, base:base + R] = fsel
+                ssel_out[0, k, :, base:base + R] = ssel
 
             @pl.when(table_ref[k, 0, _TBL_SUBIT + si] == 0)
             def _skip(base=base):
                 zero = jnp.zeros((1, R), jnp.int32)
                 sym_out[0, k, :, base:base + R] = zero
-                fsel_out[0, k, :, base:base + R] = zero.astype(jnp.uint32)
-                ssel_out[0, k, :, base:base + R] = zero.astype(jnp.uint32)
+                fsel_out[0, k, :, base:base + R] = zero
+                ssel_out[0, k, :, base:base + R] = zero
                 vals[:, base:base + R] = jnp.zeros((1, R), jnp.float32)
 
         # Q-row write: the latent rectangle at lanes [0, P_pad) of a
@@ -604,9 +604,11 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pl.BlockSpec((1, K_STEPS, 1, P_pad), lambda b, t: (b, t, 0, 0))
         for _ in range(3))
     T_pad = TB * K_STEPS
+    # All-i32 outputs: freq/cdf values are < 2^17, and unsigned output
+    # blocks fall off Mosaic's pipelined-DMA path (measured ~25 us/step).
     out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.uint32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.uint32))
+                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32),
+                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32))
     X_K = max(K, K1)
     scratch = [
         pltpu.VMEM((VR, Q_CH, lanes[0]), jnp.float32),   # r0
@@ -675,11 +677,9 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
 
             @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
             def _sub(base=base):
-                # freq < 2^16 fits i32; unsigned max is not lowerable.
-                f = jnp.maximum(
-                    fsel_ref[0, k, :, base:base + R].astype(jnp.int32),
-                    1).astype(jnp.uint32)                    # (1, R)
-                sv = ssel_ref[0, k, :, base:base + R]
+                f = jnp.maximum(fsel_ref[0, k, :, base:base + R],
+                                1).astype(jnp.uint32)        # (1, R)
+                sv = ssel_ref[0, k, :, base:base + R].astype(jnp.uint32)
                 a = act_ref[k, :, base:base + R] != 0
                 st = states_s[:]
                 emit = a & (st >= (f << rans.WORD_BITS))

@@ -82,12 +82,52 @@ class SyntheticDataset(Dataset):
         return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
+def _scan_tfrecord_offsets(shard: str) -> np.ndarray:
+    """Byte offset of every record in a TFRecord file, from the framing
+    alone (u64 length + u32 crc | payload | u32 crc per record). One
+    sequential pass, no TF, no payload decode."""
+    offsets = []
+    size = os.path.getsize(shard)
+    with open(shard, 'rb') as f:
+        pos = 0
+        while pos + 12 <= size:
+            offsets.append(pos)
+            f.seek(pos)
+            (length,) = np.frombuffer(f.read(8), np.uint64)
+            pos += 8 + 4 + int(length) + 4
+        assert pos == size, f'truncated/corrupt TFRecord: {shard}'
+    return np.asarray(offsets, np.int64)
+
+
+def tfrecord_index(shard: str) -> np.ndarray:
+    """Record offsets for a shard, persisted beside it as ``<shard>.idx.npy``
+    (built on first use; ImageNet-scale shards index once, then every init
+    is an mmap read — the reference instead counted records per run,
+    ref: inputpipeline.py:70)."""
+    idx_p = shard + '.idx.npy'
+    try:
+        if os.path.exists(idx_p) and (os.path.getmtime(idx_p)
+                                      >= os.path.getmtime(shard)):
+            return np.load(idx_p, mmap_mode='r')
+    except OSError:
+        pass
+    offsets = _scan_tfrecord_offsets(shard)
+    try:
+        np.save(idx_p, offsets)
+    except OSError:
+        pass  # read-only dataset dir: fall back to the in-memory index
+    return offsets
+
+
 class RecordsDataset(Dataset):
     """TFRecord shards of encoded images — the reference's primary training
     format (ref: inputpipeline.py:42-80; 'imgnet_train' = 1,281,167 images).
-    Records are indexed once (offsets per shard) so loads are random-access;
-    decoding uses PIL on the raw image bytes. Requires tensorflow for the
-    record reader only."""
+
+    ImageNet-capable by design: a persisted per-shard offset index makes
+    init O(#shards) after the first run, and ``load`` is one seek + one
+    record read (O(1) memory — no shard is ever decoded wholesale). The
+    Example proto is unwrapped with a minimal varint walk, so TF is not
+    needed at all."""
 
     KNOWN = {'imgnet_train': ('train-*.tfrecord', 1_281_167),
              'imgnet_test': ('val-*.tfrecord', 50_000)}
@@ -97,34 +137,109 @@ class RecordsDataset(Dataset):
         assert shard_paths, name
         self.name = name
         self.feature_key = feature_key
-        self._index: List[Tuple[str, int]] = []  # (shard, record ordinal)
-        import tensorflow as tf  # reader only
-        self._tf = tf
-        for shard in shard_paths:
-            count = sum(1 for _ in tf.data.TFRecordDataset(shard))
-            self._index.extend((shard, i) for i in range(count))
         self._shards = list(shard_paths)
-        self._cache_shard: Optional[str] = None
-        self._cache_records: List[bytes] = []
-        self.paths = [f'{s}#{i}' for s, i in self._index]
+        self._offsets = [tfrecord_index(s) for s in self._shards]
+        counts = [len(o) for o in self._offsets]
+        self._shard_of = np.repeat(np.arange(len(counts)), counts)
+        self._base = np.concatenate([[0], np.cumsum(counts)])
+        self._files: dict = {}
+        self.paths = [f'{self._shards[s]}#{i - self._base[s]}'
+                      for i, s in enumerate(self._shard_of)]
+
+    def _file(self, shard_i: int):
+        # One open handle per (shard, thread): seeks from different pipeline
+        # workers must not race on a shared file position.
+        key = (shard_i, threading.get_ident())
+        f = self._files.get(key)
+        if f is None:
+            f = open(self._shards[shard_i], 'rb')
+            self._files[key] = f
+        return f
+
+    def _record(self, idx: int) -> bytes:
+        shard_i = int(self._shard_of[idx])
+        ordinal = idx - int(self._base[shard_i])
+        f = self._file(shard_i)
+        f.seek(int(self._offsets[shard_i][ordinal]))
+        (length,) = np.frombuffer(f.read(8), np.uint64)
+        f.seek(4, 1)  # length crc
+        return f.read(int(length))
 
     def load(self, idx: int) -> np.ndarray:
         import io
         from PIL import Image
-        shard, ordinal = self._index[idx]
-        if shard != self._cache_shard:
-            tf = self._tf
-            self._cache_records = [
-                r.numpy() for r in tf.data.TFRecordDataset(shard)]
-            self._cache_shard = shard
-        raw = self._cache_records[ordinal]
-        example = self._tf.train.Example()
-        example.ParseFromString(raw)
-        feats = example.features.feature
-        key = self.feature_key if self.feature_key in feats else next(iter(feats))
-        img_bytes = feats[key].bytes_list.value[0]
+        img_bytes = example_bytes_feature(self._record(idx), self.feature_key)
         with Image.open(io.BytesIO(img_bytes)) as im:
             return np.asarray(im.convert('RGB'), np.uint8)
+
+    def shuffled_order(self, rng: np.random.RandomState) -> np.ndarray:
+        """Shard-aware shuffle: shard order and within-shard order are both
+        random, but records of one shard stay together, so reads remain
+        sequential-ish on disk even for 1000+ shard datasets."""
+        blocks = []
+        for s in rng.permutation(len(self._shards)):
+            lo, hi = int(self._base[s]), int(self._base[s + 1])
+            blocks.append(lo + rng.permutation(hi - lo))
+        return np.concatenate(blocks)
+
+
+def example_bytes_feature(record: bytes, want_key: str) -> bytes:
+    """Extract one bytes feature from a serialized tf.train.Example with a
+    minimal protobuf walk (Example{1: Features{1: map<string, Feature>}},
+    Feature{1: BytesList{1: bytes}}). Falls back to the first bytes feature
+    if want_key is absent."""
+
+    def varint(buf, pos):
+        out = shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, pos
+            shift += 7
+
+    def fields(buf):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = varint(buf, pos)
+            field, wire = tag >> 3, tag & 7
+            if wire == 2:           # length-delimited
+                ln, pos = varint(buf, pos)
+                yield field, buf[pos:pos + ln]
+                pos += ln
+            elif wire == 0:         # varint
+                _, pos = varint(buf, pos)
+            else:
+                raise ValueError(f'unsupported wire type {wire}')
+
+    fallback = None
+    for f1, features in fields(record):
+        if f1 != 1:
+            continue
+        for f2, entry in fields(features):   # map entries
+            if f2 != 1:
+                continue
+            key = value = None
+            for fe, payload in fields(entry):
+                if fe == 1:
+                    key = payload.decode()
+                elif fe == 2:
+                    value = payload
+            if value is None:
+                continue
+            for fv, blist in fields(value):  # Feature
+                if fv != 1:                  # 1 = bytes_list
+                    continue
+                for fb, data in fields(blist):
+                    if fb == 1:
+                        if key == want_key:
+                            return data
+                        if fallback is None:
+                            fallback = data
+    if fallback is not None:
+        return fallback
+    raise ValueError(f'no bytes feature in record (wanted {want_key!r})')
 
 
 def get_dataset(spec: str) -> Dataset:
@@ -230,7 +345,10 @@ class InputPipeline:
             while len(buf) < self.batch_size:
                 if pos >= n:
                     if self.shuffle:
-                        rng.shuffle(order)
+                        if hasattr(self.dataset, 'shuffled_order'):
+                            order = self.dataset.shuffled_order(rng)
+                        else:
+                            rng.shuffle(order)
                     pos = 0
                 img = self.dataset.load(int(order[pos]))
                 pos += 1

@@ -33,6 +33,9 @@ class TrainFlags:
     log_interval_save: int = 1000
     max_steps: Optional[int] = None
     profile_steps: Optional[int] = None  # trace steps [10, 10+profile_steps)
+    # Steps fused into one device dispatch (jitted lax.scan): amortizes the
+    # host->device dispatch latency; never crosses a log/save/test boundary.
+    steps_per_dispatch: int = 8
 
 
 def _dump_test_images(log_dir: str, itr: int, trainer: Trainer, state,
@@ -147,14 +150,43 @@ def train(ae_config_spec: str, pc_config_spec: str,
             return mesh_lib.shard_batch(batch, mesh)
         return jax.device_put(batch)
 
+    def put_multi(stack: np.ndarray):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            stack = np.stack([mesh_lib.pad_batch_to_multiple(
+                b, len(mesh.devices)) for b in stack])
+            return jax.device_put(stack, NamedSharding(
+                mesh, P(None, mesh_lib.DATA_AXIS)))
+        return jax.device_put(stack)
+
+    intervals = [flags.log_interval_train, flags.log_interval_save]
+    if flags.log_interval_test > 0:
+        intervals.append(flags.log_interval_test)
+
+    def steps_this_dispatch(itr: int) -> int:
+        k = max(1, flags.steps_per_dispatch)
+        for iv in intervals:
+            k = min(k, iv - itr % iv)
+        if flags.max_steps is not None:
+            k = min(k, flags.max_steps - itr)
+        if flags.profile_steps:
+            k = 1  # per-step traces
+        return max(1, k)
+
     itr = start_itr
     try:
         while flags.max_steps is None or itr < flags.max_steps:
             if flags.profile_steps and itr == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
-            batch = put(ip_train.get_batch())
-            state, comps = trainer.train_step(state, batch)
-            itr += 1  # tracked locally; int(state.step) would sync every step
+            k = steps_this_dispatch(itr)
+            if k > 1:
+                stack = np.stack([ip_train.get_batch() for _ in range(k)])
+                state, comps = trainer.train_multi(state, put_multi(stack))
+            else:
+                batch = put(ip_train.get_batch())
+                state, comps = trainer.train_step(state, batch)
+            itr += k  # tracked locally; int(state.step) would sync every step
+            timer.add(k * ae_config.batch_size)
             if flags.profile_steps and itr == 10 + flags.profile_steps:
                 jax.profiler.stop_trace()
 

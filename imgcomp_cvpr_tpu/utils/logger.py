@@ -49,16 +49,25 @@ class MetricsLogger:
 
 
 class Timer:
-    """img/s timer (ref: train.py:201-213)."""
+    """img/s timer (ref: train.py:201-213). Counts the examples actually
+    processed instead of assuming the interval was fully consumed."""
 
     def __init__(self, log_interval: int, batch_size: int):
         self.log_interval = log_interval
         self.batch_size = batch_size
+        self.num_examples = 0
         self.start_time = time.time()
 
+    def add(self, num_examples: int) -> None:
+        self.num_examples += num_examples
+
     def get_avg_ex_per_sec(self) -> float:
-        avg_time_per_step = (time.time() - self.start_time) / self.log_interval
-        return self.batch_size / avg_time_per_step
+        elapsed = max(time.time() - self.start_time, 1e-9)
+        if self.num_examples:
+            return self.num_examples / elapsed
+        # legacy path: callers that never add() get the old estimate
+        return self.batch_size * self.log_interval / elapsed
 
     def reset(self) -> None:
+        self.num_examples = 0
         self.start_time = time.time()
