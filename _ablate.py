@@ -1,4 +1,10 @@
-"""Ablation timing of the pallas forward kernel at Kodak scale."""
+"""Ablation timing of the pallas codec at Kodak scale, via the production
+encode/decode jits (bare-kernel jits crash the TPU runtime; the production
+fold/pack+kernel fused jits are the supported path). The reverse-rANS
+kernel is identical across variants, so deltas attribute forward-scan cost.
+
+Usage: python _ablate.py [full norans noconv notaps nodot empty] [B]
+"""
 import os
 import sys
 import time
@@ -17,23 +23,20 @@ from imgcomp_cvpr_tpu.models import probclass as pc_lib
 from imgcomp_cvpr_tpu.utils import config as config_lib
 
 SHAPE = (32, 64, 96)
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+variants = (sys.argv[1] or 'full,norans,noconv').split(',') \
+    if len(sys.argv) > 1 else ['full', 'norans', 'noconv']
+
 pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
 L = 6
 pc = pc_lib.ProbClassifier(pc_config, L)
 rng = np.random.RandomState(0)
 pc_params = pc.init(jax.random.PRNGKey(1), (1, SHAPE[1], SHAPE[2], SHAPE[0]))
 centers = np.linspace(-2, 2, L).astype(np.float32)
-syms = rng.randint(0, L, size=(1,) + SHAPE).astype(np.int8)
+syms = rng.randint(0, L, size=(B,) + SHAPE).astype(np.int8)
+syms_flat = jnp.asarray(syms.reshape(B, -1))
+centers_j = jnp.asarray(centers)
 
-coder = pcodec.PallasCoder(pc, pc_config)
-tables, sched = coder._tables(SHAPE)
-pack_true = coder._prep_fns(SHAPE, 1)[0]
-weights = coder._weights(pc_params, centers)
-true_syms = pack_true(jnp.asarray(syms.reshape(1, -1)))
-wrows = sched.wcap // 128 + 2
-streams_dummy = jnp.zeros((1, wrows, 128), jnp.uint32)
-states_dummy = jnp.full((1, 1, pk.R), rans.RANS_L, jnp.uint32)
-mode1 = jnp.ones((1,), jnp.int32)
 
 def timeit(fn, *args, n=8):
     # Pipelined: block once at the end — the axon tunnel's per-call sync
@@ -45,11 +48,24 @@ def timeit(fn, *args, n=8):
     jax.block_until_ready(outs[-1])
     return (time.time() - t0) / n
 
-for ablate in (sys.argv[1:] or ['full', 'norans', 'noconv']):
+
+for ablate in variants:
     pk.make_forward.cache_clear()
     pk._ABLATE = ablate
-    fwd, _ = pk.make_forward(SHAPE, pc_config.arch_param__k, L, 1)
-    f = jax.jit(fwd)
-    dt = timeit(f, weights, tables, true_syms, streams_dummy, states_dummy,
-                mode1)
-    print(f'{ablate}: {dt * 1e3:.1f} ms ({dt / sched.T * 1e6:.1f} us/step)')
+    coder = pcodec.PallasCoder(pc, pc_config)
+    encode_dev, decode_dev, sched = coder._kernels(SHAPE, B)
+    dt = timeit(encode_dev, pc_params, centers_j, syms_flat)
+    us = dt / (sched.T * B) * 1e6
+    print(f'{ablate}: enc {dt * 1e3:.1f} ms ({us:.1f} us/step/img)',
+          flush=True)
+    if ablate == 'full':
+        # decode timing (fwd only, no reverse kernel): junk streams are fine
+        # below the CRC layer.
+        wrows = sched.wcap // 128 + 2
+        words = jnp.zeros((B, 4096), jnp.uint32)
+        states = jnp.full((B, 1, pk.R), rans.RANS_L, jnp.uint32)
+        dt = timeit(lambda: decode_dev(pc_params, centers_j, words, states,
+                                       nbucket=4096))
+        us = dt / (sched.T * B) * 1e6
+        print(f'{ablate}: dec {dt * 1e3:.1f} ms ({us:.1f} us/step/img)',
+              flush=True)

@@ -73,7 +73,8 @@ class LatentCodec:
     encoded them — the container CRC catches violations.
     """
 
-    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'auto'):
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, impl: str = 'auto',
+                 mesh=None):
         self.pc = pc
         self.pc_config = pc_config
         self.context_size = pc_lib.context_size(pc_config)
@@ -86,14 +87,25 @@ class LatentCodec:
         if impl in ('cached', 'ring', 'pallas') and pc_config.kernel_size != 3:
             impl = 'direct'  # fast paths are specialized to K=3 geometry
         self.impl = impl
+        # With a mesh, image batches shard over the data axis: the pallas
+        # impl via shard_map (pallas_codec.py), the XLA impls via sharded
+        # inputs + SPMD propagation through the vmapped scan.
+        self.mesh = mesh
         self._pallas = None
         self._siblings = {}
 
     def _pallas_coder(self):
         if self._pallas is None:
             from .pallas_codec import PallasCoder
-            self._pallas = PallasCoder(self.pc, self.pc_config)
+            self._pallas = PallasCoder(self.pc, self.pc_config, mesh=self.mesh)
         return self._pallas
+
+    def _shard(self, batch_arr):
+        """Device-put a batch-major array with the batch dim sharded."""
+        if self.mesh is None:
+            return jnp.asarray(batch_arr)
+        from ..parallel import mesh as mesh_lib
+        return mesh_lib.shard_batch(np.asarray(batch_arr), self.mesh)
 
     def _route(self, impl_id: int) -> 'LatentCodec':
         """Return the codec matching a container's impl id (self-routing
@@ -103,7 +115,7 @@ class LatentCodec:
             return self
         if name not in self._siblings:
             self._siblings[name] = LatentCodec(self.pc, self.pc_config,
-                                               impl=name)
+                                               impl=name, mesh=self.mesh)
         return self._siblings[name]
 
     # ------------------------------------------------------------------
@@ -242,11 +254,11 @@ class LatentCodec:
         encode_streams, theoretical_bits, _, _ = self._device_helpers(latent_shape)
         r = rans.R_LANES if sched.M >= rans.R_LANES else sched.M
         w_buf = sched.T * sched.M
-        streams_dummy = jnp.zeros((b, w_buf), jnp.uint32)
-        states_dummy = jnp.full((b, r), rans.RANS_L, jnp.uint32)
+        streams_dummy = self._shard(np.zeros((b, w_buf), np.uint32))
+        states_dummy = self._shard(np.full((b, r), rans.RANS_L, np.uint32))
         _, freq_sel, start_sel, _ = run(
             pc_params, jnp.asarray(centers),
-            jnp.asarray(symbols.reshape(b, -1), jnp.int8),
+            self._shard(symbols.reshape(b, -1).astype(np.int8)),
             streams_dummy, states_dummy, jnp.int32(1))
         buf, n_words, states = encode_streams(freq_sel, start_sel)
         theo = theoretical_bits(freq_sel)
@@ -313,10 +325,11 @@ class LatentCodec:
         for i, (_, stream_words, st, _crc) in enumerate(parsed):
             states[i] = st
             packed[i, :len(stream_words)] = stream_words
-        streams = pad_streams(jnp.asarray(packed), t=w_buf)
-        dummy_true = jnp.zeros((b, int(np.prod(latent_shape))), jnp.int8)
+        streams = pad_streams(self._shard(packed), t=w_buf)
+        dummy_true = self._shard(
+            np.zeros((b, int(np.prod(latent_shape))), np.int8))
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
-                            streams, jnp.asarray(states), jnp.int32(0))
+                            streams, self._shard(states), jnp.int32(0))
         return (latent_shape, parsed, pack_syms(syms))
 
     def decode_batch_finish(self, handle, verify: bool = True) -> np.ndarray:

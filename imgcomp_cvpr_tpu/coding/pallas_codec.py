@@ -30,14 +30,35 @@ def _use_interpret() -> bool:
 
 class PallasCoder:
     """Entropy codec for one (pc_config, num_centers) context model, running
-    the whole wavefront scan in one Pallas kernel. kernel_size must be 3."""
+    the whole wavefront scan in one Pallas kernel. kernel_size must be 3.
 
-    def __init__(self, pc: pc_lib.ProbClassifier, pc_config):
+    With a mesh, image batches are sharded over the mesh's data axis via
+    shard_map (each device runs the identical per-shard kernel; streams are
+    per-image, so the parallelism is exact — SURVEY §2 "per-device image
+    sharding"). Batch size must divide the device count evenly."""
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, mesh=None):
         assert pc_config.kernel_size == 3, 'pallas codec requires K=3'
         self.pc = pc
         self.pc_config = pc_config
         self.kf = pc_config.arch_param__k
         self.L = pc.num_centers
+        self.mesh = mesh
+
+    def _shard_wrap(self, fn, n_in_batch, n_out):
+        """shard_map fn over the data axis: first args replicated params/
+        centers, last n_in_batch args batch-sharded; all outputs sharded."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel import mesh as mesh_lib
+        d = P(mesh_lib.DATA_AXIS)
+        in_specs = (P(), P()) + (d,) * n_in_batch
+        return jax.jit(shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(d,) * n_out if n_out > 1 else d,
+            check_rep=False))
 
     # -- per-shape cached device constants -----------------------------------
 
@@ -108,37 +129,54 @@ class PallasCoder:
         # relayout copy instead. Encode and decode are separate jits but
         # contain the IDENTICAL Mosaic kernel (same traced kernel function
         # and shapes), preserving encode==decode float determinism.
+        # With a mesh, the kernel is built at the per-device batch size and
+        # span over devices via shard_map (per-image math is batch-index
+        # free, so results are bitwise identical at any device count).
         interp = _use_interpret()
-        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b,
+        ndev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        assert b % ndev == 0, \
+            f'batch {b} must divide the {ndev}-device mesh evenly'
+        bl = b // ndev
+        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, bl,
                                      interpret=interp)
-        rev, _ = pk.make_reverse(latent_shape, b, interpret=interp)
+        rev, _ = pk.make_reverse(latent_shape, bl, interpret=interp)
         tables, _ = self._tables(latent_shape)
         pack_true, unpack_syms, theoretical_bits, pad_stream = self._prep_fns(
-            latent_shape, b)
+            latent_shape, bl)
         wrows = sched.wcap // 128 + 2
 
-        @jax.jit
-        def encode_dev(pc_params, centers, symbols_flat):
+        def encode_local(pc_params, centers, symbols_flat):
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
             true_syms = pack_true(symbols_flat)
-            streams = jnp.zeros((b, wrows, 128), jnp.uint32)
-            states = jnp.full((b, 1, pk.R), rans.RANS_L, jnp.uint32)
+            streams = jnp.zeros((bl, wrows, 128), jnp.uint32)
+            states = jnp.full((bl, 1, pk.R), rans.RANS_L, jnp.uint32)
             _, fsel, ssel = fwd(weights, tables, true_syms, streams, states,
                                 jnp.ones((1,), jnp.int32))
             words, n_words, st = rev(tables, fsel, ssel)
             return words, n_words, st, theoretical_bits(fsel)
 
-        @functools.partial(jax.jit, static_argnames=('nbucket',))
-        def decode_dev(pc_params, centers, words_bucket, states, nbucket):
+        encode_dev = self._shard_wrap(encode_local, n_in_batch=1, n_out=4)
+
+        def decode_local(nbucket, pc_params, centers, words_bucket, states):
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
             streams = pad_stream(words_bucket, nbucket)
-            dummy_true = jnp.zeros((b, sched.idx_map.shape[0], 1, sched.P_pad),
-                                   jnp.int32)
+            dummy_true = jnp.zeros((bl, sched.idx_map.shape[0], 1,
+                                    sched.P_pad), jnp.int32)
             syms, _, _ = fwd(weights, tables, dummy_true, streams, states,
                              jnp.zeros((1,), jnp.int32))
             return unpack_syms(syms)
+
+        decode_cache = {}
+
+        def decode_dev(pc_params, centers, words_bucket, states, nbucket):
+            if nbucket not in decode_cache:
+                decode_cache[nbucket] = self._shard_wrap(
+                    functools.partial(decode_local, nbucket),
+                    n_in_batch=2, n_out=1)
+            return decode_cache[nbucket](pc_params, centers, words_bucket,
+                                         states)
 
         return encode_dev, decode_dev, sched
 

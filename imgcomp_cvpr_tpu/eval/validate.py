@@ -42,18 +42,29 @@ class OutputFlags:
 
 
 class EvalModel:
-    """Jitted per-image metrics computation for a fixed (ae, pc) config pair."""
+    """Jitted per-image metrics computation for a fixed (ae, pc) config pair.
 
-    def __init__(self, ae_config, pc_config):
+    With a mesh, image batches are sharded over the mesh's data axis and
+    params replicated — per-device image sharding per SURVEY §2 (the model
+    is purely convolutional, so batch DP is exact: per-image results are
+    bitwise independent of the device count)."""
+
+    def __init__(self, ae_config, pc_config, mesh=None):
         self.ae_config = ae_config
         self.pc_config = pc_config
         self.ae = ae_lib.get_network_cls(ae_config)(ae_config)
         self.pc = pc_lib.ProbClassifier(pc_config, ae_config.num_centers)
+        self.mesh = mesh
         self.params = None  # set via set_params
 
     def set_params(self, params: Dict, batch_stats: Dict) -> None:
-        self.params = jax.device_put(params)
-        self.batch_stats = jax.device_put(batch_stats)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            self.params = mesh_lib.replicate(params, self.mesh)
+            self.batch_stats = mesh_lib.replicate(batch_stats, self.mesh)
+        else:
+            self.params = jax.device_put(params)
+            self.batch_stats = jax.device_put(batch_stats)
 
     @functools.lru_cache(maxsize=32)
     def _fetch_fn(self, b: int, h: int, w: int):
@@ -85,18 +96,28 @@ class EvalModel:
     def fetch_many(self, imgs_hwc_uint8) -> 'list[Dict[str, np.ndarray]]':
         """Run a batch of same-shaped padded images in one device pass
         (the reference evaluates one image per sess.run, ref val.py:158);
-        returns one dict per image."""
+        returns one dict per image. With a mesh, the batch dim is sharded
+        over all devices (padded by repeating the last image; pad results
+        are dropped)."""
+        n_real = len(imgs_hwc_uint8)
         batch = np.stack(imgs_hwc_uint8)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            batch = mesh_lib.pad_batch_to_multiple(
+                batch, self.mesh.devices.size)
+            x_dev = mesh_lib.shard_batch(batch, self.mesh)
+        else:
+            x_dev = jnp.asarray(batch)
         b, h, w = batch.shape[:3]
         out = jax.device_get(self._fetch_fn(b, h, w)(
-            self.params, self.batch_stats, jnp.asarray(batch)))
-        return [{k: v[i] for k, v in out.items()} for i in range(b)]
+            self.params, self.batch_stats, x_dev))
+        return [{k: v[i] for k, v in out.items()} for i in range(n_real)]
 
     def fetch(self, img_hwc_uint8: np.ndarray) -> Dict[str, np.ndarray]:
         return self.fetch_many([img_hwc_uint8])[0]
 
 
-def build_eval_model_from_log_dir(log_dir: str) -> EvalModel:
+def build_eval_model_from_log_dir(log_dir: str, mesh=None) -> EvalModel:
     """Recover configs from the log-dir name (config identity is part of
     checkpoint identity, ref: val.py:69-72)."""
     from ..utils import constants
@@ -106,7 +127,7 @@ def build_eval_model_from_log_dir(log_dir: str) -> EvalModel:
         log_dir, base_dirs=[base_ae, base_pc])
     ae_config, _ = config_lib.parse(ae_path, base_dir=base_ae)
     pc_config, _ = config_lib.parse(pc_path, base_dir=base_pc)
-    return EvalModel(ae_config, pc_config)
+    return EvalModel(ae_config, pc_config, mesh=mesh)
 
 
 class ValuesAggregator:
@@ -128,7 +149,8 @@ class ValuesAggregator:
 
 
 def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
-             flags: OutputFlags, eval_model: Optional[EvalModel] = None) -> None:
+             flags: OutputFlags, eval_model: Optional[EvalModel] = None,
+             mesh=None) -> None:
     validated = set(val_dirs.get_validated_checkpoints())
     all_ckpts = checkpoint_lib.all_ckpts_with_iterations(val_dirs.ckpt_dir)
     if not all_ckpts:
@@ -142,7 +164,7 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
         return
 
     if eval_model is None:
-        eval_model = build_eval_model_from_log_dir(val_dirs.log_dir)
+        eval_model = build_eval_model_from_log_dir(val_dirs.log_dir, mesh=mesh)
 
     codec = None
     if flags.real_bpp:

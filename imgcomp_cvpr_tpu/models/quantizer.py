@@ -18,7 +18,8 @@ kernel lives in ops/pallas/quantize.py for the hot path.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +32,23 @@ class QuantizerOutput(NamedTuple):
     symbols: jax.Array  # int32 indices into centers
 
 
-def quantize(x: jax.Array, centers: jax.Array, sigma: float = 1.0) -> QuantizerOutput:
+def _resolve_impl(impl: Optional[str]) -> str:
+    """'pallas' | 'xla'; default comes from IMGCOMP_QUANT_IMPL (auto routes
+    to the fused Pallas kernel on TPU, the XLA path elsewhere)."""
+    impl = impl or os.environ.get('IMGCOMP_QUANT_IMPL', 'auto')
+    assert impl in ('auto', 'pallas', 'xla'), impl
+    if impl == 'auto':
+        impl = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    return impl
+
+
+def quantize(x: jax.Array, centers: jax.Array, sigma: float = 1.0,
+             impl: Optional[str] = None) -> QuantizerOutput:
     assert centers.ndim == 1, centers.shape
+    if _resolve_impl(impl) == 'pallas':
+        from ..ops.pallas.quantize import quantize_pallas
+        out = quantize_pallas(x, centers, sigma)
+        return QuantizerOutput(out.qbar, out.qsoft, out.qhard, out.symbols)
     x_exp = x[..., None]                                  # (..., 1)
     dist = jnp.square(x_exp - centers)                    # (..., L)
     phi_soft = jax.nn.softmax(-sigma * dist, axis=-1)

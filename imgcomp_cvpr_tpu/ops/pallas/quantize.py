@@ -102,6 +102,10 @@ def _bwd_kernel(x_ref, centers_ref, g_ref, gh_ref, dx_ref, dc_ref,
         numer = numer + e * centers_ref[0, l]
     qsoft = numer / denom
     dx = jnp.zeros_like(x)
+    # Mosaic cannot store scalars to VMEM; the per-center sums are placed
+    # into a (1, L) row via an iota mask and accumulated with one row store.
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, dc_ref.shape[1]), 1)
+    dc_row = jnp.zeros((1, dc_ref.shape[1]), jnp.float32)
     for l in range(num_centers):
         c = centers_ref[0, l]
         p = jnp.exp(-sigma * jnp.square(x - c) - max_neg) / denom
@@ -109,7 +113,9 @@ def _bwd_kernel(x_ref, centers_ref, g_ref, gh_ref, dx_ref, dc_ref,
         dx = dx + p * (-2.0 * sigma * diff) * (c - qsoft)
         dc = p * (1.0 + 2.0 * sigma * diff * (c - qsoft))
         hard_sel = (best_idx == l).astype(jnp.float32)
-        dc_ref[0, l] += jnp.sum(g * dc + gh * hard_sel)
+        dc_row = dc_row + jnp.where(cidx == l,
+                                    jnp.sum(g * dc + gh * hard_sel), 0.0)
+    dc_ref[:] = dc_ref[:] + dc_row
     dx_ref[:] = g * dx
 
 

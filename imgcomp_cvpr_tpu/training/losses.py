@@ -19,7 +19,7 @@ def l2_of_conv_kernels(params_tree: Any) -> jax.Array:
     """Sum of l2_loss (= sum(w^2)/2) over all conv-kernel leaves named 'w'."""
     total = jnp.zeros((), jnp.float32)
 
-    def visit(tree, inside_w=False):
+    def visit(tree):
         nonlocal total
         if isinstance(tree, dict):
             for k, v in tree.items():

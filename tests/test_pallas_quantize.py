@@ -68,3 +68,43 @@ def test_qhard_gradient_to_centers():
     np.testing.assert_allclose(np.asarray(jax.grad(loss_pal)(centers)),
                                np.asarray(jax.grad(loss_ref)(centers)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_model_impl_switch_equivalence():
+    """The IMGCOMP_QUANT_IMPL flag routes models/quantizer.quantize through
+    the fused Pallas kernel; a full train-style forward+grad through the
+    flagship encoder must match the XLA path (VERDICT r1 item 3)."""
+    from imgcomp_cvpr_tpu.models import autoencoder as ae_lib
+    from imgcomp_cvpr_tpu.utils import config as config_lib
+
+    ae_config, _ = config_lib.parse_spec('cvpr/low', 'ae')
+    ae = ae_lib.get_network_cls(ae_config)(ae_config)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 255.0)
+    variables = ae.init(jax.random.PRNGKey(0), x, True)
+
+    def run(impl):
+        def loss(params):
+            enc, x_out = ae.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                x, True, mutable=['batch_stats'])[0]
+            return jnp.mean((x_out - x) ** 2) + jnp.mean(enc.qbar ** 2)
+
+        import os
+        os.environ['IMGCOMP_QUANT_IMPL'] = impl
+        try:
+            val, grads = jax.value_and_grad(loss)(variables['params'])
+        finally:
+            os.environ.pop('IMGCOMP_QUANT_IMPL', None)
+        return val, grads
+
+    val_x, g_x = run('xla')
+    val_p, g_p = run('pallas')
+    np.testing.assert_allclose(float(val_p), float(val_x), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    for a, b in zip(flat_x, flat_p):
+        # rtol: grads traverse the whole decoder/encoder conv stack, where
+        # op-order differences after the quantizer legitimately accumulate.
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-2, atol=2e-4)

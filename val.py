@@ -26,9 +26,19 @@ def main():
     p.add_argument('--real_bpp', action='store_true',
                    help='Entropy-code each image for real (bit-exact round-trip '
                         'checked); prints real vs theoretical vs loss bpp.')
+    p.add_argument('--num_devices', type=int, default=None,
+                   help='Shard eval image batches over the first N devices '
+                        '(default: all devices if >1, else single-device).')
     flags, unknown = p.parse_known_args()
     if unknown:
         print(f'Unknown flags: {unknown}')
+
+    import jax
+    mesh = None
+    n_dev = flags.num_devices or len(jax.devices())
+    if n_dev > 1:
+        from imgcomp_cvpr_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_dev)
 
     image_paths, dataset_name = val_images.get_image_paths(flags.images)
     images_iterator = ImagesIterator(image_paths[:flags.how_many], dataset_name,
@@ -40,7 +50,7 @@ def main():
             validate_lib.validate(
                 ValidationDirs(ckpt_dir, flags.log_dir_root, dataset_name,
                                flags.reset),
-                images_iterator, val_flags)
+                images_iterator, val_flags, mesh=mesh)
         except FileNotFoundError as e:
             print(f'*** Caught {e}')
             continue
