@@ -49,14 +49,20 @@ def timeit(fn, *args, n=8):
     return (time.time() - t0) / n
 
 
+rev_variants = sys.argv[3].split(',') if len(sys.argv) > 3 else ['full']
+
 for ablate in variants:
+  for rev_ablate in rev_variants:
     pk.make_forward.cache_clear()
+    pk.make_reverse.cache_clear()
     pk._ABLATE = ablate
+    pk._ABLATE_REV = rev_ablate
+    label = ablate if rev_ablate == 'full' else f'{ablate}/rev-{rev_ablate}'
     coder = pcodec.PallasCoder(pc, pc_config)
     encode_dev, decode_dev, sched = coder._kernels(SHAPE, B)
     dt = timeit(encode_dev, pc_params, centers_j, syms_flat)
     us = dt / (sched.T * B) * 1e6
-    print(f'{ablate}: enc {dt * 1e3:.1f} ms ({us:.1f} us/step/img)',
+    print(f'{label}: enc {dt * 1e3:.1f} ms ({us:.1f} us/step/img)',
           flush=True)
     if ablate == 'full':
         # decode timing (fwd only, no reverse kernel): junk streams are fine

@@ -84,16 +84,20 @@ class PallasCoder:
             out = jnp.take(padded, idx, axis=1)
             return out.reshape(b, T, 1, P_pad)
 
+        # Inverse permutation: latent j -> its (step, lane) source position
+        # (a gather at decode time instead of a scatter — cheaper on TPU).
+        flat_np = np.asarray(sched.idx_map.reshape(-1))
+        inv_np = np.zeros(n, np.int32)
+        valid_np = flat_np < n
+        inv_np[flat_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+        inv_idx = jnp.asarray(inv_np)
+
         @jax.jit
         def unpack_syms(sym_tp):
             # (B, T, 1, P_pad) i32 -> (B, n) int8 latent volumes (int8 keeps
             # the host-link transfer at 1 byte/symbol; L <= 127 always)
             flat = sym_tp.reshape(b, T * P_pad)
-
-            def one(s):
-                return jnp.zeros((n,), jnp.int32).at[idx].set(s, mode='drop')
-
-            return jax.vmap(one)(flat).astype(jnp.int8)
+            return jnp.take(flat, inv_idx, axis=1).astype(jnp.int8)
 
         @functools.partial(jax.jit, static_argnames=('nbucket',))
         def pad_stream(words_bucket, nbucket):

@@ -74,9 +74,10 @@ Q_CH = 8                   # sublane replication of the scalar q ring
 
 _HIGH = jax.lax.Precision.HIGHEST
 
-# Debug ablation knob for perf triage (set before make_forward; affects
-# kernel structure only — never used in production paths).
+# Debug ablation knobs for perf triage (set before make_forward/make_reverse;
+# affect kernel structure only — never used in production paths).
 _ABLATE = 'full'
+_ABLATE_REV = 'full'
 
 
 def _round_up(x: int, m: int) -> int:
@@ -315,42 +316,63 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
 # ---------------------------------------------------------------------------
 
 def _excl_rank(ni):
-    """Exclusive prefix sum over lanes: (1, R) i32 -> (1, R) i32."""
+    """Exclusive prefix sum over lanes: (1, R) i32 -> (1, R) i32.
+
+    DEFAULT precision (one bf16 MXU pass) is exact here: operands are 0/1
+    and results <= R <= 256, all exactly representable in bf16."""
     mstrict = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
                < jax.lax.broadcasted_iota(jnp.int32, (R, R), 1))
     out = jax.lax.dot_general(ni.astype(jnp.float32),
                               mstrict.astype(jnp.float32),
-                              (((1,), (0,)), ((), ())), precision=_HIGH)
+                              (((1,), (0,)), ((), ())))
     return out.astype(jnp.int32)
 
 
 def _gather_words(row0, row1, pos):
     """Select words at in-window positions pos (1, R) from two stream rows
-    (1, 128) each; pos in [0, 256). Exact one-hot matvecs."""
+    (1, 128) each; pos in [0, 256).
+
+    One-hot matvecs at DEFAULT precision (single bf16 MXU pass each): the
+    16-bit words are split into bytes (<= 255, bf16-exact; at most one
+    one-hot hit per output lane, so sums stay exact) — 4 one-pass matmuls
+    instead of 2 six-pass f32-HIGHEST ones."""
     i0 = jax.lax.broadcasted_iota(jnp.int32, (128, R), 0)
     oh0 = (i0 == pos).astype(jnp.float32)
     oh1 = (i0 + 128 == pos).astype(jnp.float32)
-    w = (jax.lax.dot_general(row0.astype(jnp.float32), oh0,
-                             (((1,), (0,)), ((), ())), precision=_HIGH)
-         + jax.lax.dot_general(row1.astype(jnp.float32), oh1,
-                               (((1,), (0,)), ((), ())), precision=_HIGH))
-    return w.astype(jnp.int32)
+    dims = (((1,), (0,)), ((), ()))
+
+    def sel(row, oh):
+        hi = (row >> 8).astype(jnp.float32)
+        lo = (row & 0xFF).astype(jnp.float32)
+        h = jax.lax.dot_general(hi, oh, dims)
+        l = jax.lax.dot_general(lo, oh, dims)
+        return h.astype(jnp.int32) * 256 + l.astype(jnp.int32)
+
+    return sel(row0, oh0) + sel(row1, oh1)
 
 
 def _scatter_words(word, pos, valid):
     """Place word lanes (1, R) i32 at in-window positions pos (1, R) over two
     128-lane rows; returns (row0, row1, mask0, mask1). One-hot matvecs that
-    contract the shared R axis directly ((1, R) x (128, R)) — no transposes."""
+    contract the shared R axis directly ((1, R) x (128, R)) — no transposes.
+    Byte-split DEFAULT-precision matmuls (exact; see _gather_words)."""
     i0 = jax.lax.broadcasted_iota(jnp.int32, (128, R), 0)
     oh0 = ((i0 == pos) & valid).astype(jnp.float32)          # (128, R)
     oh1 = ((i0 + 128 == pos) & valid).astype(jnp.float32)
-    wf = word.astype(jnp.float32)
-    dims = (((1,), (1,)), ((), ()))
-    r0 = jax.lax.dot_general(wf, oh0, dims, precision=_HIGH).astype(jnp.int32)
-    r1 = jax.lax.dot_general(wf, oh1, dims, precision=_HIGH).astype(jnp.int32)
+    hi = (word >> 8).astype(jnp.float32)
+    lo = (word & 0xFF).astype(jnp.float32)
     ones = jnp.ones((1, R), jnp.float32)
-    m0 = jax.lax.dot_general(ones, oh0, dims, precision=_HIGH) > 0.5
-    m1 = jax.lax.dot_general(ones, oh1, dims, precision=_HIGH) > 0.5
+    dims = (((1,), (1,)), ((), ()))
+
+    def place(oh):
+        h = jax.lax.dot_general(hi, oh, dims)
+        l = jax.lax.dot_general(lo, oh, dims)
+        r = h.astype(jnp.int32) * 256 + l.astype(jnp.int32)
+        m = jax.lax.dot_general(ones, oh, dims) > 0.5
+        return r, m
+
+    r0, m0 = place(oh0)
+    r1, m1 = place(oh1)
     return r0, r1, m0, m1
 
 
@@ -433,6 +455,13 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             ssel_out[0, 0, :, 0:R] = zz
             return
 
+        # Pre-zero the iteration's output blocks once; active chunks then
+        # overwrite their lanes and inactive chunks need no branch at all.
+        zeros_blk = jnp.zeros(sym_out.shape, jnp.int32)
+        sym_out[:] = zeros_blk
+        fsel_out[:] = zeros_blk
+        ssel_out[:] = zeros_blk
+
         for k in range(K_STEPS):
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -449,7 +478,10 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                   r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
         t = tb * K_STEPS + k
         slot = jax.lax.rem(t, VR)
-        rows = [jax.lax.rem(t + 8 * VR - 31 + off, VR) for off in _OFFS]
+        if ablate in ('staticslot', 'staticboth'):  # timing probe: static slot idx
+            rows = [(k - 31 + off) % VR for off in _OFFS]
+        else:
+            rows = [jax.lax.rem(t + 8 * VR - 31 + off, VR) for off in _OFFS]
 
         def fill_X(ring, li, width, ch):
             # Dynamic lane-offset reads are not lowerable; a full-row
@@ -461,7 +493,10 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             if ablate == 'notaps':
                 taps = taps[:1]
             for o in taps:
-                sh = table_ref[k, 0, 18 * (li - 1) + o]
+                if ablate in ('staticshift', 'staticboth'):
+                    sh = (o * 3) % 7  # timing probe: no scalar-table read
+                else:
+                    sh = table_ref[k, 0, 18 * (li - 1) + o]
                 row = _roll(ring[rows[o]], -sh)
                 X[o * ch:(o + 1) * ch, 0:width] = row[:, 0:width]
 
@@ -557,13 +592,9 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 fsel_out[0, k, :, base:base + R] = fsel
                 ssel_out[0, k, :, base:base + R] = ssel
 
-            @pl.when(table_ref[k, 0, _TBL_SUBIT + si] == 0)
-            def _skip(base=base):
-                zero = jnp.zeros((1, R), jnp.int32)
-                sym_out[0, k, :, base:base + R] = zero
-                fsel_out[0, k, :, base:base + R] = zero
-                ssel_out[0, k, :, base:base + R] = zero
-                vals[:, base:base + R] = jnp.zeros((1, R), jnp.float32)
+            # No else-branch: outputs are pre-zeroed per iteration, and the
+            # q-write masks vals by THIS step's act, so stale vals lanes from
+            # earlier steps are never read where act == 0.
 
         # Q-row write: the latent rectangle at lanes [0, P_pad) of a
         # pad-valued row, rotated into place (dynamic stores at lane
@@ -653,6 +684,7 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
     chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
     wrows = sched.wcap // 128 + 2
+    ablate = _ABLATE_REV
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
                words_out, nw_out, st_out, states_s, gw_s):
@@ -693,15 +725,21 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                 grow = gw // 128
                 goff = gw - grow * 128
                 pos = jnp.where(emit, goff + total - 1 - fwd, -1)
-                r0n, r1n, m0, m1 = _scatter_words(word, pos, emit)
-                old0 = words_out[0, pl.ds(grow, 1), :].astype(jnp.int32)
-                old1 = words_out[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
-                words_out[0, pl.ds(grow, 1), :] = jnp.where(
-                    m0, r0n, old0).astype(jnp.uint32)
-                words_out[0, pl.ds(grow + 1, 1), :] = jnp.where(
-                    m1, r1n, old1).astype(jnp.uint32)
+                if ablate != 'noscatter':
+                    r0n, r1n, m0, m1 = _scatter_words(word, pos, emit)
+                    old0 = words_out[0, pl.ds(grow, 1), :].astype(jnp.int32)
+                    old1 = words_out[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
+                    words_out[0, pl.ds(grow, 1), :] = jnp.where(
+                        m0, r0n, old0).astype(jnp.uint32)
+                    words_out[0, pl.ds(grow + 1, 1), :] = jnp.where(
+                        m1, r1n, old1).astype(jnp.uint32)
                 st = jnp.where(emit, st >> rans.WORD_BITS, st)
-                xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
+                if ablate == 'nodiv':
+                    xn = ((st >> 4) << rans.SCALE_BITS) + (st & 15) + sv
+                elif ablate == 'noscatter':
+                    xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
+                else:
+                    xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
                 states_s[:] = jnp.where(a, xn, st)
                 gw_s[0] = gw + total
 
