@@ -26,6 +26,9 @@ SHAPE = (32, 64, 96)
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 variants = (sys.argv[1] or 'full,norans,noconv').split(',') \
     if len(sys.argv) > 1 else ['full', 'norans', 'noconv']
+BSUB = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+os.environ['IMGCOMP_PALLAS_BSUB'] = str(BSUB)
+RING16 = BSUB > 1
 
 pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
 L = 6
@@ -59,7 +62,8 @@ for ablate in variants:
     pk._ABLATE_REV = rev_ablate
     label = ablate if rev_ablate == 'full' else f'{ablate}/rev-{rev_ablate}'
     coder = pcodec.PallasCoder(pc, pc_config)
-    encode_dev, decode_dev, sched = coder._kernels(SHAPE, B)
+    ks = coder._kernels(SHAPE, B, RING16)
+    encode_dev, decode_dev, sched = ks.encode_dev, ks.decode_dev, ks.sched
     dt = timeit(encode_dev, pc_params, centers_j, syms_flat)
     us = dt / (sched.T * B) * 1e6
     print(f'{label}: enc {dt * 1e3:.1f} ms ({us:.1f} us/step/img)',

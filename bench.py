@@ -62,16 +62,28 @@ def main():
     def ae_decode(ae_vars, q):
         return ae.apply(ae_vars, q, False, method='decode')
 
+    @jax.jit
+    def syms_chw(enc_symbols):
+        # NHWC int32 -> (B, C, H, W) int8 ON DEVICE (the codec path is
+        # device-resident: symbols and decoded volumes never cross the
+        # host link; container checksums are computed on device).
+        return jnp.transpose(enc_symbols, (0, 3, 1, 2)).astype(jnp.int8)
+
+    @jax.jit
+    def q_from_syms(syms_dev_chw):
+        s_nhwc = jnp.transpose(syms_dev_chw, (0, 2, 3, 1)).astype(jnp.int32)
+        return jnp.asarray(centers)[s_nhwc]
+
     def full_encode(imgs):
         enc = ae_encode(ae_vars, imgs)
-        syms = np.transpose(np.asarray(jax.device_get(enc.symbols)), (0, 3, 1, 2))
-        return codec.encode_batch(pc_vars, syms, centers), syms
+        syms = syms_chw(enc.symbols)
+        return codec.encode_batch(pc_vars, syms, centers), \
+            np.asarray(jax.device_get(syms))
 
     def full_decode(bitstreams):
-        syms = codec.decode_batch(pc_vars, bitstreams, centers)  # CRC-verified
-        syms_nhwc = jnp.asarray(np.transpose(syms, (0, 2, 3, 1)).astype(np.int8))
-        q = jnp.asarray(centers)[syms_nhwc.astype(jnp.int32)]
-        return jax.block_until_ready(ae_decode(ae_vars, q))
+        syms = codec.decode_batch(pc_vars, bitstreams, centers,
+                                  device_out=True)  # checksum-verified
+        return jax.block_until_ready(ae_decode(ae_vars, q_from_syms(syms)))
 
     # Warmup (compile) + correctness gate: bit-exact round-trip.
     results, syms_in = full_encode(x)
@@ -79,24 +91,32 @@ def main():
                                       centers)
     np.testing.assert_array_equal(decoded_syms, syms_in)
     _ = full_decode([r.bitstream for r in results])
-    syms_dev = np.transpose(np.asarray(
-        jax.device_get(ae_encode(ae_vars, x).symbols)), (0, 3, 1, 2))
+    syms_dev = syms_chw(ae_encode(ae_vars, x).symbols)
+    jax.block_until_ready(syms_dev)
 
     # Timed: software-pipelined stream of batches — host serialize/parse of
     # batch i overlaps the device scans of batch i+1 (async dispatch).
-    n_iter = 4
+    # Timed loop, depth-2 software pipeline: the NEXT batch's encode is
+    # queued before finishing the current one, so the device never idles
+    # while the host serializes/parses streams; decode results are
+    # finished one slot late for the same reason.
+    n_iter = 8
     t0 = time.time()
     enc_h = codec.encode_batch_submit(pc_vars, syms_dev, centers)
+    dec_h = None
+    x_out = None
     for i in range(n_iter):
+        enc_next = (codec.encode_batch_submit(pc_vars, syms_dev, centers)
+                    if i + 1 < n_iter else None)
         rs = codec.encode_batch_finish(enc_h)
-        dec_h = codec.decode_batch_submit(pc_vars, [r.bitstream for r in rs],
-                                          centers)
-        if i + 1 < n_iter:
-            enc_h = codec.encode_batch_submit(pc_vars, syms_dev, centers)
-        syms_out = codec.decode_batch_finish(dec_h)
-        q = jnp.asarray(centers)[jnp.asarray(
-            np.transpose(syms_out, (0, 2, 3, 1)).astype(np.int8)).astype(jnp.int32)]
-        x_out = ae_decode(ae_vars, q)
+        enc_h = enc_next
+        dec_prev, dec_h = dec_h, codec.decode_batch_submit(
+            pc_vars, [r.bitstream for r in rs], centers)
+        if dec_prev is not None:
+            syms_out = codec.decode_batch_finish(dec_prev, device_out=True)
+            x_out = ae_decode(ae_vars, q_from_syms(syms_out))
+    syms_out = codec.decode_batch_finish(dec_h, device_out=True)
+    x_out = ae_decode(ae_vars, q_from_syms(syms_out))
     jax.block_until_ready(x_out)
     dt = (time.time() - t0) / n_iter
     # AE encode time is measured separately and added (the pipeline reuses

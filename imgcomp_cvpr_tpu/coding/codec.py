@@ -40,7 +40,8 @@ from . import rans
 from . import wavefront
 
 MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
-VERSION = 4  # v3 + impl id in the header (containers self-route on decode)
+VERSION = 5  # v4 + kernel-precision byte (pallas bf16-ring streams are only
+             # decodable by bf16-ring executables, and vice versa)
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
@@ -51,8 +52,40 @@ IMPL_IDS = {'direct': IMPL_DIRECT, 'cached': IMPL_CACHED, 'ring': IMPL_RING,
 IMPL_NAMES = {v: k for k, v in IMPL_IDS.items()}
 
 
+# Symbol-volume checksum for the container: a weighted mod-2^32 sum chosen
+# to be computable ON DEVICE (jnp uint32 wraparound twin below) so encode
+# and decode never have to ship the symbol volume over the host link just
+# to verify integrity. Detects random corruption with ~2^-32 miss rate
+# (replaces the round-1 zlib.crc32, which is host-only).
+_CK_MULT = np.uint64(2654435761)        # Knuth multiplicative hash constant
+_CK_MASK = np.uint64(0xFFFFFFFF)
+
+
 def symbol_crc(symbols: np.ndarray) -> int:
-    return zlib.crc32(np.ascontiguousarray(symbols, np.int8).tobytes()) & 0xFFFFFFFF
+    x = np.ascontiguousarray(symbols, np.int8).reshape(-1)
+    v = (x.astype(np.uint64) & np.uint64(0xFF)) + np.uint64(1)
+    i = np.arange(v.size, dtype=np.uint64)
+    w = ((i * _CK_MULT) & _CK_MASK) | np.uint64(1)
+    s1 = int(v.sum() & _CK_MASK)
+    s2 = int((((v * w) & _CK_MASK).sum()) & _CK_MASK)
+    rot = ((s2 << 16) | (s2 >> 16)) & 0xFFFFFFFF
+    return (s1 ^ rot) & 0xFFFFFFFF
+
+
+def symbol_crc_device(symbols_flat_u32, weights_u32):
+    """jnp twin of symbol_crc on a (..., n) int volume; weights_u32 =
+    crc_weights(n). Returns (...,) uint32."""
+    v = (symbols_flat_u32.astype(jnp.uint32) & jnp.uint32(0xFF)) + \
+        jnp.uint32(1)
+    s1 = jnp.sum(v, axis=-1, dtype=jnp.uint32)
+    s2 = jnp.sum(v * weights_u32, axis=-1, dtype=jnp.uint32)
+    rot = (s2 << 16) | (s2 >> 16)
+    return s1 ^ rot
+
+
+def crc_weights(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.uint64)
+    return (((i * _CK_MULT) & _CK_MASK) | np.uint64(1)).astype(np.uint32)
 
 
 class EncodeResult(NamedTuple):
@@ -332,14 +365,15 @@ class LatentCodec:
                             streams, self._shard(states), jnp.int32(0))
         return (latent_shape, parsed, pack_syms(syms))
 
-    def decode_batch_finish(self, handle, verify: bool = True) -> np.ndarray:
+    def decode_batch_finish(self, handle, verify: bool = True,
+                            device_out: bool = False) -> np.ndarray:
         if isinstance(handle, tuple) and handle:
             if handle[0] == 'routed':
                 return self._route(handle[1]).decode_batch_finish(
-                    handle[2], verify=verify)
+                    handle[2], verify=verify, device_out=device_out)
             if handle[0] == 'pallas':
                 return self._pallas_coder().decode_batch_finish(
-                    handle[1], verify=verify)
+                    handle[1], verify=verify, device_out=device_out)
         latent_shape, parsed, packed_syms = handle
         b = len(parsed)
         out = np.asarray(jax.device_get(packed_syms), np.int32)  # (B, n)
@@ -350,14 +384,19 @@ class LatentCodec:
                     raise ValueError(
                         f'decode CRC mismatch for image {i}: corrupt stream, '
                         'or decode ran with a different executable than encode')
+        if device_out:
+            return jnp.asarray(out)
         return out
 
     def decode_batch(self, pc_params, bitstreams, centers: np.ndarray,
-                     verify: bool = True) -> np.ndarray:
-        """-> (B, C, H, W) symbols, all images decoded in one device pass."""
+                     verify: bool = True, device_out: bool = False
+                     ) -> np.ndarray:
+        """-> (B, C, H, W) symbols, all images decoded in one device pass.
+        device_out=True keeps the result on device (the pallas impl then
+        verifies via device-computed checksums without downloading it)."""
         return self.decode_batch_finish(
             self.decode_batch_submit(pc_params, bitstreams, centers),
-            verify=verify)
+            verify=verify, device_out=device_out)
 
     def encode(self, pc_params, symbols: np.ndarray, centers: np.ndarray
                ) -> EncodeResult:
@@ -386,11 +425,12 @@ class LatentCodec:
 
 def serialize_stream(latent_shape, stream_words: np.ndarray,
                      final_states: np.ndarray, sym_crc: int = 0,
-                     impl_id: int = IMPL_RING) -> bytes:
+                     impl_id: int = IMPL_RING, prec: int = 0) -> bytes:
     buf = io.BytesIO()
     buf.write(MAGIC)
     buf.write(np.asarray([VERSION], np.uint16).tobytes())
     buf.write(np.asarray([impl_id], np.uint8).tobytes())
+    buf.write(np.asarray([prec], np.uint8).tobytes())
     buf.write(np.asarray(latent_shape, np.uint16).tobytes())
     buf.write(np.asarray([sym_crc], np.uint32).tobytes())
     buf.write(np.asarray([len(final_states)], np.uint16).tobytes())
@@ -406,6 +446,7 @@ def deserialize_stream(data: bytes, return_impl: bool = False):
     version = np.frombuffer(buf.read(2), np.uint16)[0]
     assert version == VERSION, version
     impl_id = int(np.frombuffer(buf.read(1), np.uint8)[0])
+    _prec = int(np.frombuffer(buf.read(1), np.uint8)[0])
     latent_shape = tuple(int(v) for v in np.frombuffer(buf.read(6), np.uint16))
     sym_crc = int(np.frombuffer(buf.read(4), np.uint32)[0])
     r = int(np.frombuffer(buf.read(2), np.uint16)[0])
@@ -420,3 +461,10 @@ def deserialize_stream(data: bytes, return_impl: bool = False):
 def stream_impl_id(data: bytes) -> int:
     assert data[:4] == MAGIC, 'bad magic'
     return data[6]
+
+
+def stream_prec(data: bytes) -> int:
+    """Kernel precision the stream was encoded with (0 = f32 rings,
+    1 = bf16 rings). Streams are only decodable at their own precision."""
+    assert data[:4] == MAGIC, 'bad magic'
+    return data[7]

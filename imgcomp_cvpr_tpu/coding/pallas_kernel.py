@@ -28,17 +28,22 @@ tile-pads ch=24 up to 128 lanes and OOMs VMEM by 3x):
     output IS the ring row — written back verbatim;
   - the q-plane write is one lane-shifted masked store.
 
-Entropy coding: interleaved rANS with R = 16 persistent lanes
+Entropy coding: interleaved rANS with R = 32 persistent lanes
 (coding/rans.py documents the scheme; fewer lanes than the XLA ring
-impl's 64 => ~4x less stream-flush overhead, hitting the <=0.5%
-real-bpp budget). rANS lanes are the cells of the logits plane in
-lane-major order, processed in S = P_pad / R sub-iterations;
-sub-iterations with no active cell are skipped via precomputed flags
-(the reverse encoder reads the same flags, so the two stay in step).
-Stream words live in a dense (rows, 128) buffer; the <=R words a
-sub-iteration moves are gathered/scattered with one-hot matvecs at
-precision=HIGHEST (exact for 16-bit integers), so no dynamic
-lane-granularity memory ops exist anywhere in the kernel.
+impl's 64 => less stream-flush overhead, hitting the <=0.5% real-bpp
+budget — measured 0.27% f32 / 0.33% bf16 on Kodak). rANS lanes are
+row-anchored R-wide chunks of the logits plane, processed in S
+sub-iterations; sub-iterations with no active cell are skipped via
+precomputed flags (the reverse encoder reads the same flags, so the
+two stay in step). Stream words live in a dense (rows, 128) buffer;
+the <=R words a sub-iteration moves are gathered/scattered with
+byte-split one-hot matvecs at DEFAULT precision (exact: operands fit
+bf16), so no dynamic lane-granularity memory ops exist anywhere in
+the kernel. Teacher symbols and outputs travel in a chunk-major
+layout (one contiguous (1, R) slice per sub-iteration).
+
+Multi-image batching (bsub) packs images into lane segments of the
+same rings so per-step latencies amortize; see make_forward.
 
 Bit-exactness contract (same as coding/codec.py): encode (teacher-
 forced) and decode run ONE kernel with a traced mode flag, so the
@@ -90,14 +95,17 @@ class PallasSchedule(NamedTuple):
     J_STORE: int                 # global row stride of all band planes
     P: int                       # DW4 * J_STORE (logits plane lanes, unpadded)
     P_pad: int                   # P rounded up to a multiple of 128
-    S: int                       # P_pad // R sub-iterations per step
+    S: int                       # number of rANS sub-iterations per step
+    CQ: int                      # S * R: chunk-major row width (per image)
     DW: Tuple[int, ...]          # packed band d-extents per level 0..4
     J: Tuple[int, ...]           # packed band j-extents per level 0..4
     lanes: Tuple[int, ...]       # ring lane extents per level 0..3
     plane: Tuple[int, ...]       # computed plane lanes per level 1..4 (idx 0 unused)
     table: np.ndarray            # (T, 1, NS) int32 per-step scalars
-    active: np.ndarray           # (T, 1, P_pad) int32 latent-cell mask
+    active: np.ndarray           # (T, 1, P_pad) int32 latent-cell mask (plane)
+    active_cm: np.ndarray        # (T, 1, CQ) int32 mask in chunk-major layout
     idx_map: np.ndarray          # (T, P_pad) int32 -> flat latent idx (or n)
+    idx_cm: np.ndarray           # (T, CQ) int32 -> flat latent idx (chunk-major)
     chunk_offs: Tuple[int, ...]  # static lane offsets of rANS sub-iterations
     wcap: int                    # stream word capacity (multiple of 128)
 
@@ -302,11 +310,23 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
         idx_map = np.concatenate(
             [idx_map, np.full((T_pad - T, P_pad), n, np.int32)], axis=0)
 
+    # Chunk-major twins of active/idx_map: lane si * R + r <-> plane lane
+    # chunk_offs[si] + r. Outputs/teacher symbols use this layout — every
+    # rANS sub-iteration reads/writes ONE contiguous (1, R) slice, and rows
+    # shrink from P_pad to S * R lanes.
+    CQ = _round_up(S * R, 128)
+    cm_src = np.concatenate([np.arange(off, off + R) for off in chunk_offs])
+    active_cm = np.zeros((active.shape[0], 1, CQ), np.int32)
+    active_cm[:, :, :S * R] = active[:, :, cm_src]
+    idx_cm = np.full((idx_map.shape[0], CQ), n, np.int32)
+    idx_cm[:, :S * R] = idx_map[:, cm_src]
+
     wcap = _round_up(n + 2 * R, 128)
     return PallasSchedule(latent_shape=latent_shape, T=T, J_STORE=J_STORE,
-                          P=P, P_pad=P_pad, S=S, DW=tuple(DW), J=tuple(J),
-                          lanes=lanes, plane=tuple(plane), table=table,
-                          active=active, idx_map=idx_map,
+                          P=P, P_pad=P_pad, S=S, CQ=CQ, DW=tuple(DW),
+                          J=tuple(J), lanes=lanes, plane=tuple(plane),
+                          table=table, active=active, active_cm=active_cm,
+                          idx_map=idx_map, idx_cm=idx_cm,
                           chunk_offs=chunk_offs, wcap=wcap)
 
 
@@ -315,13 +335,16 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
 # are one-hot matvecs at HIGHEST precision — exact for 16-bit integers)
 # ---------------------------------------------------------------------------
 
-def _excl_rank(ni):
-    """Exclusive prefix sum over lanes: (1, R) i32 -> (1, R) i32.
+def _excl_rank(ni, bsub: int = 1):
+    """Per-image exclusive prefix sum over lanes: (1, bsub*R) i32 ->
+    (1, bsub*R) i32, block-diagonal so images never mix.
 
     DEFAULT precision (one bf16 MXU pass) is exact here: operands are 0/1
     and results <= R <= 256, all exactly representable in bf16."""
-    mstrict = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-               < jax.lax.broadcasted_iota(jnp.int32, (R, R), 1))
+    n = bsub * R
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mstrict = (ii < jj) & (ii // R == jj // R)
     out = jax.lax.dot_general(ni.astype(jnp.float32),
                               mstrict.astype(jnp.float32),
                               (((1,), (0,)), ((), ())))
@@ -401,18 +424,42 @@ def _quantize_cdf_kernel(logits, L):
 
 @functools.lru_cache(maxsize=8)
 def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
+                 bsub: int = 1, ring16: bool = False,
                  interpret: bool = False):
     """Returns (fn, sched). fn(weights, tables, true_syms, streams,
-    init_states, mode) -> (syms, freq_sel, start_sel), all (B, T, 1, P_pad)."""
+    init_states, mode) -> (syms, freq_sel, start_sel), all (B, T, 1, CQB).
+
+    ``bsub`` packs that many images into ONE kernel instance as lane
+    SEGMENTS of every ring plane (image i at lanes [i * LSEG, (i+1) * LSEG)):
+    the per-step scalar reads, tap rolls, branches, and the whole rANS state
+    chain run ONCE for all bsub images ((1, bsub*R) vectors cost the same
+    VPU instructions as (1, R)), so the dominant per-step latencies amortize
+    by bsub. A full-row roll crosses segment boundaries only at positions
+    that are dead cells in every image (the same argument that makes
+    single-image wrap-around safe), so real cells stay bitwise independent
+    of bsub. ``ring16`` stores the activation rings in bfloat16 — required
+    to fit bsub=2 at Kodak scale in the ~16 MB VMEM; encode/decode share the
+    executable, so the rounding is identical in both directions and streams
+    remain self-consistent (container records the precision).
+
+    Teacher symbols and the three outputs use the CHUNK-MAJOR layout:
+    global lane cq = si * (bsub * R) + i * R + r for rANS sub-iteration si,
+    image i, lane r; CQB = round_up(S * bsub * R, 128).
+    """
     sched = build_pallas_schedule(latent_shape)
     T, P, P_pad, S = sched.T, sched.P, sched.P_pad, sched.S
-    DW, lanes, plane = sched.DW, sched.lanes, sched.plane
+    DW, plane = sched.DW, sched.plane
+    LSEG = max(sched.lanes)
+    W_ALL = bsub * LSEG
+    CQB = _round_up(S * bsub * R, 128)
     chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
-    wrows = sched.wcap // 128 + 2
+    wrows = kernel_stream_rows(sched, bsub)
     K1 = 18 * Q_CH
     K = 18 * kf
     assert L >= 2
+    rdt = jnp.bfloat16 if ring16 else jnp.float32
+    BR = bsub * R
 
     ablate = _ABLATE
     if interpret:
@@ -426,27 +473,28 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     def kernel(table_ref, mode_ref, pad_ref,
                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-               act_ref, true_ref, stream_ref, inst_ref,
+               act_ref, acm_ref, true_ref, stream_ref, inst_ref,
                sym_out, fsel_out, ssel_out,
                r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
         def _init():
-            r0[:] = jnp.zeros(r0.shape, jnp.float32) + pad_ref[0]
-            r1[:] = jnp.zeros(r1.shape, jnp.float32) + k1_ref[:][:, 0:1]
-            r2[:] = jnp.zeros(r2.shape, jnp.float32) + k2_ref[:][:, 0:1]
-            r3[:] = jnp.zeros(r3.shape, jnp.float32) + k3_ref[:][:, 0:1]
+            r0[:] = jnp.zeros(r0.shape, rdt) + pad_ref[0].astype(rdt)
+            r1[:] = jnp.zeros(r1.shape, rdt) + k1_ref[:][:, 0:1].astype(rdt)
+            r2[:] = jnp.zeros(r2.shape, rdt) + k2_ref[:][:, 0:1].astype(rdt)
+            r3[:] = jnp.zeros(r3.shape, rdt) + k3_ref[:][:, 0:1].astype(rdt)
             states_s[:] = inst_ref[0]
-            gptr_s[0] = 0
+            for i in range(bsub):
+                gptr_s[i] = 0
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
-            X[:] = jnp.zeros(X.shape, jnp.float32)
+            X[:] = jnp.zeros(X.shape, rdt)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
 
         if ablate == 'empty':
             # Floor measurement: touch every streamed ref once, no compute.
             z = (table_ref[0, 0, 0] + mode_ref[0]
-                 + act_ref[0, 0, 0] + true_ref[0, 0, 0, 0]
+                 + act_ref[0, 0, 0] + acm_ref[0, 0, 0] + true_ref[0, 0, 0, 0]
                  + inst_ref[0, 0, 0].astype(jnp.int32)
                  + stream_ref[0, 0, 0].astype(jnp.int32))
             zz = jnp.zeros((1, R), jnp.int32) + z
@@ -455,40 +503,36 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             ssel_out[0, 0, :, 0:R] = zz
             return
 
-        # Pre-zero the iteration's output blocks once; active chunks then
-        # overwrite their lanes and inactive chunks need no branch at all.
-        zeros_blk = jnp.zeros(sym_out.shape, jnp.int32)
-        sym_out[:] = zeros_blk
-        fsel_out[:] = zeros_blk
-        ssel_out[:] = zeros_blk
-
+        # Chunk-major outputs need no pre-zeroing: lanes of skipped chunks
+        # are garbage but every consumer masks by the active_cm layout.
         for k in range(K_STEPS):
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                       w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-                      act_ref, true_ref, stream_ref,
+                      act_ref, acm_ref, true_ref, stream_ref,
                       sym_out, fsel_out, ssel_out,
                       r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-                  act_ref, true_ref, stream_ref,
+                  act_ref, acm_ref, true_ref, stream_ref,
                   sym_out, fsel_out, ssel_out,
                   r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
         t = tb * K_STEPS + k
         slot = jax.lax.rem(t, VR)
-        if ablate in ('staticslot', 'staticboth'):  # timing probe: static slot idx
+        if ablate in ('staticslot', 'staticboth'):  # timing probe only
             rows = [(k - 31 + off) % VR for off in _OFFS]
         else:
             rows = [jax.lax.rem(t + 8 * VR - 31 + off, VR) for off in _OFFS]
 
-        def fill_X(ring, li, width, ch):
+        def fill_X(ring, li, ch):
             # Dynamic lane-offset reads are not lowerable; a full-row
-            # dynamic roll + static slice is (and wrapped lanes only ever
-            # land on dead cells, which stay finite by construction).
-            # Fully-masked taps are skipped: their folded weights are exact
-            # zeros, so the stale (finite) X columns contribute nothing.
+            # dynamic roll + static slice is (and wrapped/cross-segment
+            # lanes only ever land on dead cells, which stay finite by
+            # construction). Fully-masked taps are skipped: their folded
+            # weights are exact zeros, so stale X columns contribute
+            # nothing.
             taps = _unmasked_taps(first=(li == 1))
             if ablate == 'notaps':
                 taps = taps[:1]
@@ -497,66 +541,75 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                     sh = (o * 3) % 7  # timing probe: no scalar-table read
                 else:
                     sh = table_ref[k, 0, 18 * (li - 1) + o]
-                row = _roll(ring[rows[o]], -sh)
-                X[o * ch:(o + 1) * ch, 0:width] = row[:, 0:width]
+                # Mosaic's dynamic_rotate only lowers for 32-bit lanes:
+                # bf16 ring rows are rolled through f32.
+                row = _roll(ring[rows[o]].astype(jnp.float32), -sh)
+                X[o * ch:(o + 1) * ch, :] = row.astype(rdt)
 
-        def layer_dot(w_ref, b_ref, kdim, width):
+        def layer_dot(w_ref, b_ref, kdim):
             if ablate == 'nodot':
-                return jnp.zeros((b_ref.shape[0], width), jnp.float32) + b_ref[:]
-            if ablate == 'bf16dot':
-                return jax.lax.dot_general(
-                    w_ref[:].astype(jnp.bfloat16),
-                    X[0:kdim, 0:width].astype(jnp.bfloat16),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) + b_ref[:]
+                return (jnp.zeros((b_ref.shape[0], W_ALL), jnp.float32)
+                        + b_ref[:])
             return jax.lax.dot_general(
-                w_ref[:], X[0:kdim, 0:width], (((0,), (0,)), ((), ())),
+                w_ref[:].astype(rdt), X[0:kdim, :],
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_ref[:]
 
-        # Layer 1 (q ring rows carry Q_CH replicated sublanes).
         if ablate == 'noconv':
-            def fill_X(ring, li, width, ch):
+            def fill_X(ring, li, ch):
                 pass
-            def layer_dot(w_ref, b_ref, kdim, width):
-                return jnp.zeros((b_ref.shape[0], width), jnp.float32) + b_ref[:]
-        fill_X(r0, 1, plane[1], Q_CH)
-        y1 = jax.nn.relu(layer_dot(w1_ref, b1_ref, K1, plane[1]))
-        y1s[:, 0:plane[1]] = y1
-        r1[slot, :, 0:plane[1]] = y1
+            def layer_dot(w_ref, b_ref, kdim):
+                return (jnp.zeros((b_ref.shape[0], W_ALL), jnp.float32)
+                        + b_ref[:])
+
+        # Layer 1 (q ring rows carry Q_CH replicated sublanes).
+        fill_X(r0, 1, Q_CH)
+        y1 = jax.nn.relu(layer_dot(w1_ref, b1_ref, K1))
+        y1s[:] = y1
+        r1[slot] = y1.astype(rdt)
 
         # Layer 2.
-        fill_X(r1, 2, plane[2], kf)
-        y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K, plane[2]))
-        r2[slot, :, 0:plane[2]] = y2
+        fill_X(r1, 2, kf)
+        y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K))
+        r2[slot] = y2.astype(rdt)
 
         # Layer 3 (+ residual skip from this step's y1, no relu).
-        fill_X(r2, 3, plane[3], kf)
-        skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])[:, 0:plane[3]]
-        y3 = layer_dot(w3_ref, b3_ref, K, plane[3]) + skip
-        r3[slot, :, 0:plane[3]] = y3
+        fill_X(r2, 3, kf)
+        skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])
+        y3 = layer_dot(w3_ref, b3_ref, K) + skip
+        r3[slot] = y3.astype(rdt)
 
-        # Layer 4: logits over the padded plane (lanes >= P are junk, masked
-        # by `active`). The reference ReLUs its output layer too
-        # (ref: probclass.py:220,227-233).
-        fill_X(r3, 4, P_pad, kf)
-        logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K, P_pad))
-        freq, cdf = _quantize_cdf_kernel(logits, L)    # (L, P_pad) i32
+        # Layer 4: logits over the full batched plane (lanes outside each
+        # image's latent band are junk, masked by the active maps). The
+        # reference ReLUs its output layer too (ref: probclass.py:220-233).
+        fill_X(r3, 4, kf)
+        logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K))
+        freq, cdf = _quantize_cdf_kernel(logits, L)    # (L, W_ALL) i32
 
         mode = mode_ref[0]
-        lidx = jax.lax.broadcasted_iota(jnp.int32, (L, R), 0)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (L, BR), 0)
+
+        def img_cat(x2d, base):
+            # (rows, W_ALL) -> (rows, bsub*R): image i's R lanes at base.
+            if bsub == 1:
+                return x2d[:, base:base + R]
+            return jnp.concatenate(
+                [x2d[:, i * LSEG + base:i * LSEG + base + R]
+                 for i in range(bsub)], axis=1)
 
         for si, base in enumerate(chunk_offs):
+            cq = si * BR                               # chunk-major lane
 
             @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
-            def _sub(base=base):
-                fq = freq[:, base:base + R]                  # (L, R) i32
-                cl = cdf[:, base:base + R]
-                a = act_ref[k, :, base:base + R] != 0        # (1, R)
-                st = states_s[:]                             # (1, R) u32
+            def _sub(base=base, cq=cq):
+                fq = img_cat(freq, base)               # (L, BR) i32
+                cl = img_cat(cdf, base)
+                a = acm_ref[k, :, cq:cq + BR] != 0     # (1, BR)
+                st = states_s[:]                       # (1, BR) u32
                 slot_u = st & jnp.uint32(rans.SCALE - 1)
                 slot_i = slot_u.astype(jnp.int32)
                 symd = jnp.sum((cl <= slot_i).astype(jnp.int32),
-                               axis=0, keepdims=True) - 1    # (1, R)
+                               axis=0, keepdims=True) - 1    # (1, BR)
                 ohd = lidx == symd
                 fd = jnp.sum(jnp.where(ohd, fq, 0), axis=0, keepdims=True)
                 sd = jnp.sum(jnp.where(ohd, cl, 0), axis=0, keepdims=True)
@@ -565,47 +618,55 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 if ablate != 'norans':
                     need = a & (x < jnp.uint32(rans.RANS_L))
                     ni = need.astype(jnp.int32)
-                    rank = _excl_rank(ni)
-                    total = jnp.sum(ni)
-                    gp = gptr_s[0]
-                    grow = gp // 128
-                    goff = gp - grow * 128
-                    row0 = stream_ref[0, pl.ds(grow, 1), :].astype(jnp.int32)
-                    row1 = stream_ref[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
-                    pos = jnp.where(need, goff + rank, -1)
-                    wsel = _gather_words(row0, row1, pos)
+                    rank = _excl_rank(ni, bsub)
+                    wparts = []
+                    for i in range(bsub):
+                        gp = gptr_s[i]
+                        grow = jnp.minimum(gp // 128, wrows - 2)
+                        goff = gp - grow * 128
+                        rbase = i * wrows
+                        row0 = stream_ref[0, pl.ds(rbase + grow, 1),
+                                          :].astype(jnp.int32)
+                        row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
+                                          :].astype(jnp.int32)
+                        ni_i = ni[:, i * R:(i + 1) * R]
+                        pos = jnp.where(need[:, i * R:(i + 1) * R],
+                                        goff + rank[:, i * R:(i + 1) * R], -1)
+                        wparts.append(_gather_words(row0, row1, pos))
+                        gptr_s[i] = gp + jnp.sum(ni_i)
+                    wsel = (wparts[0] if bsub == 1
+                            else jnp.concatenate(wparts, axis=1))
                     x = jnp.where(need,
                                   (x << rans.WORD_BITS)
                                   | wsel.astype(jnp.uint32), x)
                     states_s[:] = jnp.where(a, x, st)
-                    gptr_s[0] = gp + total
 
-                sym_true = true_ref[0, k, :, base:base + R]  # (1, R) i32
+                sym_true = true_ref[0, k, :, cq:cq + BR]     # (1, BR) i32
                 sym = jnp.where(mode == 1, sym_true, symd)
                 sym = jnp.where(a, sym, 0)
                 ohs = lidx == sym
                 fsel = jnp.sum(jnp.where(ohs, fq, 0), axis=0, keepdims=True)
                 ssel = jnp.sum(jnp.where(ohs, cl, 0), axis=0, keepdims=True)
-                vals[:, base:base + R] = jnp.sum(
-                    jnp.where(ohs, centers_ref[:], 0.0), axis=0, keepdims=True)
-                sym_out[0, k, :, base:base + R] = sym
-                fsel_out[0, k, :, base:base + R] = fsel
-                ssel_out[0, k, :, base:base + R] = ssel
+                v = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
+                            axis=0, keepdims=True)
+                for i in range(bsub):
+                    vals[:, i * LSEG + base:i * LSEG + base + R] = \
+                        v[:, i * R:(i + 1) * R]
+                sym_out[0, k, :, cq:cq + BR] = sym
+                fsel_out[0, k, :, cq:cq + BR] = fsel
+                ssel_out[0, k, :, cq:cq + BR] = ssel
 
-            # No else-branch: outputs are pre-zeroed per iteration, and the
-            # q-write masks vals by THIS step's act, so stale vals lanes from
-            # earlier steps are never read where act == 0.
+            # No else-branch: outputs are pre-skipped (chunk-major lanes of
+            # skipped chunks are garbage, masked by active_cm downstream),
+            # and the q-write masks vals by THIS step's act.
 
-        # Q-row write: the latent rectangle at lanes [0, P_pad) of a
-        # pad-valued row, rotated into place (dynamic stores at lane
-        # granularity are not lowerable either).
+        # Q-row write: each image's latent rectangle sits at its segment of
+        # a pad-valued row, rotated into place (dynamic lane-granularity
+        # stores are not lowerable).
         pad = pad_ref[0]
-        rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, P_pad)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes[0]), 1)
-        rect_full = jnp.pad(rect, ((0, 0), (0, lanes[0] - P_pad)))
-        row = jnp.where(lane < P_pad, rect_full, pad)
-        r0[slot] = jnp.zeros((Q_CH, lanes[0]), jnp.float32) + _roll(
-            row, table_ref[k, 0, _TBL_Q])
+        rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, W_ALL)
+        r0[slot] = (jnp.zeros((Q_CH, W_ALL), jnp.float32) + _roll(
+            rect, table_ref[k, 0, _TBL_Q])).astype(rdt)
 
     TB = sched.table.shape[0] // K_STEPS
     grid = (B, TB)
@@ -626,31 +687,32 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k2
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k3
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # centers
-        pl.BlockSpec((K_STEPS, 1, P_pad), lambda b, t: (t, 0, 0)),     # active
-        pl.BlockSpec((1, K_STEPS, 1, P_pad), lambda b, t: (b, t, 0, 0)),  # true
-        pl.BlockSpec((1, wrows, 128), lambda b, t: (b, 0, 0)),         # stream
-        pl.BlockSpec((1, 1, R), lambda b, t: (b, 0, 0)),               # states
+        pl.BlockSpec((K_STEPS, 1, W_ALL), lambda b, t: (t, 0, 0)),     # active
+        pl.BlockSpec((K_STEPS, 1, CQB), lambda b, t: (t, 0, 0)),       # act_cm
+        pl.BlockSpec((1, K_STEPS, 1, CQB), lambda b, t: (b, t, 0, 0)),  # true
+        pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),  # stream
+        pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),              # states
     ]
     out_specs = tuple(
-        pl.BlockSpec((1, K_STEPS, 1, P_pad), lambda b, t: (b, t, 0, 0))
+        pl.BlockSpec((1, K_STEPS, 1, CQB), lambda b, t: (b, t, 0, 0))
         for _ in range(3))
     T_pad = TB * K_STEPS
     # All-i32 outputs: freq/cdf values are < 2^17, and unsigned output
     # blocks fall off Mosaic's pipelined-DMA path (measured ~25 us/step).
-    out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, P_pad), jnp.int32))
+    out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
+                 jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
+                 jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32))
     X_K = max(K, K1)
     scratch = [
-        pltpu.VMEM((VR, Q_CH, lanes[0]), jnp.float32),   # r0
-        pltpu.VMEM((VR, kf, lanes[1]), jnp.float32),     # r1
-        pltpu.VMEM((VR, kf, lanes[2]), jnp.float32),     # r2
-        pltpu.VMEM((VR, kf, lanes[3]), jnp.float32),     # r3
-        pltpu.VMEM((X_K, max(lanes[1], P_pad)), jnp.float32),   # X
-        pltpu.VMEM((kf, lanes[1]), jnp.float32),         # y1s (pow2 wide)
-        pltpu.VMEM((1, P_pad), jnp.float32),             # vals
-        pltpu.VMEM((1, R), jnp.uint32),                  # states
-        pltpu.SMEM((1,), jnp.int32),                     # gptr
+        pltpu.VMEM((VR, Q_CH, W_ALL), rdt),              # r0
+        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r1
+        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r2
+        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r3
+        pltpu.VMEM((X_K, W_ALL), rdt),                   # X
+        pltpu.VMEM((kf, W_ALL), jnp.float32),            # y1s (f32: rolled)
+        pltpu.VMEM((1, W_ALL), jnp.float32),             # vals
+        pltpu.VMEM((1, BR), jnp.uint32),                 # states
+        pltpu.SMEM((bsub,), jnp.int32),                  # gptr
     ]
 
     call = pl.pallas_call(
@@ -661,12 +723,57 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
     def fn(weights, tables, true_syms, streams, init_states, mode):
         (pad_v, w1, b1, w2, b2, w3, b3, w4, b4, k1, k2, k3, centers) = weights
-        table, active = tables
+        table, active, active_cm = tables
         return call(table, mode, pad_v, w1, b1, w2, b2, w3, b3, w4, b4,
-                    k1, k2, k3, centers, active, true_syms, streams,
-                    init_states)
+                    k1, k2, k3, centers, active, active_cm, true_syms,
+                    streams, init_states)
 
     return fn, sched
+
+
+def kernel_stream_rows(sched, bsub: int = 1) -> int:
+    """Stream-buffer rows per image held in VMEM by the kernels. At
+    bsub >= 2, capped at a bpp-8 worst case (vs the absolute 16-bit/symbol
+    bound) so the batched kernel fits VMEM; the codec driver checks real
+    streams against the cap (falling back to the full-capacity bsub=1
+    kernel) and the kernels clamp their row pointers, so a pathological
+    overflow corrupts (CRC-caught), never crashes."""
+    full = sched.wcap // 128 + 2
+    if bsub == 1:
+        return full
+    n = int(np.prod(sched.latent_shape))
+    return min(full, _round_up(n // 2 + 2 * R, 128) // 128 + 2)
+
+
+def batched_layouts(sched, bsub: int):
+    """(active_plane, active_cm, idx_cm) tiled for a bsub-image kernel.
+
+    active_plane: (T_pad, 1, bsub*LSEG) plane mask per segment;
+    active_cm:    (T_pad, 1, CQB) chunk-major mask (lane si*bsub*R + i*R + r);
+    idx_cm:       (T_pad, CQB) -> flat index into the GROUP volume
+                  (image i's cells at [i*n, (i+1)*n)), or bsub*n for dead.
+    """
+    T_pad = sched.active.shape[0]
+    LSEG = max(sched.lanes)
+    P_pad = sched.P_pad
+    n = int(np.prod(sched.latent_shape))
+    S = sched.S
+    CQB = _round_up(S * bsub * R, 128)
+
+    ap = np.zeros((T_pad, 1, bsub * LSEG), np.int32)
+    for i in range(bsub):
+        ap[:, :, i * LSEG:i * LSEG + P_pad] = sched.active
+
+    acm = np.zeros((T_pad, 1, CQB), np.int32)
+    icm = np.full((T_pad, CQB), bsub * n, np.int32)
+    for si, off in enumerate(sched.chunk_offs):
+        for i in range(bsub):
+            dst = si * bsub * R + i * R
+            acm[:, :, dst:dst + R] = sched.active[:, :, off:off + R]
+            src_idx = sched.idx_map[:, off:off + R]
+            icm[:, dst:dst + R] = np.where(src_idx < n, src_idx + i * n,
+                                           bsub * n)
+    return ap, acm, icm
 
 
 # ---------------------------------------------------------------------------
@@ -675,15 +782,19 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
 @functools.lru_cache(maxsize=8)
 def make_reverse(latent_shape: Tuple[int, int, int], B: int,
-                 interpret: bool = False):
-    """fn(tables, freq_sel, start_sel) -> (words (B, wrows, 128) u32 in
-    emission order, n_words (B, 1, 1) i32, states (B, 1, R) u32). The
-    decode-order stream is the first n words flattened, reversed."""
+                 bsub: int = 1, interpret: bool = False):
+    """fn(tables, freq_sel, start_sel) -> (words (B, bsub*wrows, 128) u32 in
+    emission order, n_words (B, 1, bsub) i32, states (B, 1, bsub*R) u32).
+    Image i's decode-order stream is its first n_words[i] words (rows
+    [i*wrows, (i+1)*wrows)) flattened, reversed. fsel/ssel arrive in the
+    chunk-major layout make_forward emits."""
     sched = build_pallas_schedule(latent_shape)
     T, P_pad, S = sched.T, sched.P_pad, sched.S
+    CQB = _round_up(S * bsub * R, 128)
     chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
-    wrows = sched.wcap // 128 + 2
+    wrows = kernel_stream_rows(sched, bsub)
+    BR = bsub * R
     ablate = _ABLATE_REV
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
@@ -692,75 +803,91 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
 
         @pl.when(tb == 0)
         def _init():
-            states_s[:] = jnp.full((1, R), rans.RANS_L, jnp.uint32)
-            gw_s[0] = 0
+            states_s[:] = jnp.full((1, BR), rans.RANS_L, jnp.uint32)
+            for i in range(bsub):
+                gw_s[i] = 0
             words_out[:] = jnp.zeros(words_out.shape, jnp.uint32)
 
         for k in range(K_STEPS - 1, -1, -1):
             _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
                       words_out, states_s, gw_s)
-        nw_out[:] = jnp.zeros((1, 1, 1), jnp.int32) + gw_s[0]
+        # Mosaic-safe scalar placement: build the row with iota masking.
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bsub), 2)
+        row = jnp.zeros((1, 1, bsub), jnp.int32)
+        for i in range(bsub):
+            row = row + jnp.where(iota_b == i, gw_s[i], 0)
+        nw_out[:] = row
         st_out[0] = states_s[:]
 
     def _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
                   words_out, states_s, gw_s):
         for si in range(S - 1, -1, -1):
-            base = chunk_offs[si]
+            cq = si * BR                                 # chunk-major lane
 
             @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
-            def _sub(base=base):
-                f = jnp.maximum(fsel_ref[0, k, :, base:base + R],
-                                1).astype(jnp.uint32)        # (1, R)
-                sv = ssel_ref[0, k, :, base:base + R].astype(jnp.uint32)
-                a = act_ref[k, :, base:base + R] != 0
+            def _sub(cq=cq):
+                f = jnp.maximum(fsel_ref[0, k, :, cq:cq + BR],
+                                1).astype(jnp.uint32)    # (1, BR)
+                sv = ssel_ref[0, k, :, cq:cq + BR].astype(jnp.uint32)
+                a = act_ref[k, :, cq:cq + BR] != 0
                 st = states_s[:]
                 emit = a & (st >= (f << rans.WORD_BITS))
                 word = (st & jnp.uint32(rans.WORD_MASK)).astype(jnp.int32)
                 ei = emit.astype(jnp.int32)
-                fwd = _excl_rank(ei)
-                total = jnp.sum(ei)
-                # Emission order: descending lane rank, so the final global
-                # reversal restores decode-read order (see coding/rans.py).
-                gw = gw_s[0]
-                grow = gw // 128
-                goff = gw - grow * 128
-                pos = jnp.where(emit, goff + total - 1 - fwd, -1)
+                fwd = _excl_rank(ei, bsub)
+                # Emission order: descending lane rank per image, so the
+                # final per-image reversal restores decode-read order.
                 if ablate != 'noscatter':
-                    r0n, r1n, m0, m1 = _scatter_words(word, pos, emit)
-                    old0 = words_out[0, pl.ds(grow, 1), :].astype(jnp.int32)
-                    old1 = words_out[0, pl.ds(grow + 1, 1), :].astype(jnp.int32)
-                    words_out[0, pl.ds(grow, 1), :] = jnp.where(
-                        m0, r0n, old0).astype(jnp.uint32)
-                    words_out[0, pl.ds(grow + 1, 1), :] = jnp.where(
-                        m1, r1n, old1).astype(jnp.uint32)
+                    for i in range(bsub):
+                        sl = slice(i * R, (i + 1) * R)
+                        ei_i = ei[:, sl]
+                        total_i = jnp.sum(ei_i)
+                        gw = gw_s[i]
+                        grow = jnp.minimum(gw // 128, wrows - 2)
+                        goff = gw - grow * 128
+                        pos = jnp.where(emit[:, sl],
+                                        goff + total_i - 1 - fwd[:, sl], -1)
+                        r0n, r1n, m0, m1 = _scatter_words(word[:, sl], pos,
+                                                          emit[:, sl])
+                        rbase = i * wrows
+                        old0 = words_out[0, pl.ds(rbase + grow, 1),
+                                         :].astype(jnp.int32)
+                        old1 = words_out[0, pl.ds(rbase + grow + 1, 1),
+                                         :].astype(jnp.int32)
+                        words_out[0, pl.ds(rbase + grow, 1), :] = jnp.where(
+                            m0, r0n, old0).astype(jnp.uint32)
+                        words_out[0, pl.ds(rbase + grow + 1, 1), :] = \
+                            jnp.where(m1, r1n, old1).astype(jnp.uint32)
+                        gw_s[i] = gw + total_i
+                else:
+                    for i in range(bsub):
+                        gw_s[i] = gw_s[i] + jnp.sum(ei[:, i * R:(i + 1) * R])
                 st = jnp.where(emit, st >> rans.WORD_BITS, st)
                 if ablate == 'nodiv':
                     xn = ((st >> 4) << rans.SCALE_BITS) + (st & 15) + sv
-                elif ablate == 'noscatter':
-                    xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
                 else:
                     xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
                 states_s[:] = jnp.where(a, xn, st)
-                gw_s[0] = gw + total
 
     TB = sched.table.shape[0] // K_STEPS
     grid = (B, TB)
     in_specs = [
         pl.BlockSpec((K_STEPS, 1, NS), lambda b, t: (TB - 1 - t, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((K_STEPS, 1, P_pad), lambda b, t: (TB - 1 - t, 0, 0)),
-        pl.BlockSpec((1, K_STEPS, 1, P_pad),
+        pl.BlockSpec((K_STEPS, 1, CQB), lambda b, t: (TB - 1 - t, 0, 0)),
+        pl.BlockSpec((1, K_STEPS, 1, CQB),
                      lambda b, t: (b, TB - 1 - t, 0, 0)),
-        pl.BlockSpec((1, K_STEPS, 1, P_pad),
+        pl.BlockSpec((1, K_STEPS, 1, CQB),
                      lambda b, t: (b, TB - 1 - t, 0, 0)),
     ]
-    out_specs = (pl.BlockSpec((1, wrows, 128), lambda b, t: (b, 0, 0)),
-                 pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0)),
-                 pl.BlockSpec((1, 1, R), lambda b, t: (b, 0, 0)))
-    out_shape = (jax.ShapeDtypeStruct((B, wrows, 128), jnp.uint32),
-                 jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-                 jax.ShapeDtypeStruct((B, 1, R), jnp.uint32))
-    scratch = [pltpu.VMEM((1, R), jnp.uint32), pltpu.SMEM((1,), jnp.int32)]
+    out_specs = (pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),
+                 pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0)),
+                 pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)))
+    out_shape = (jax.ShapeDtypeStruct((B, bsub * wrows, 128), jnp.uint32),
+                 jax.ShapeDtypeStruct((B, 1, bsub), jnp.int32),
+                 jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32))
+    scratch = [pltpu.VMEM((1, BR), jnp.uint32),
+               pltpu.SMEM((bsub,), jnp.int32)]
 
     call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -769,7 +896,7 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
             dimension_semantics=('arbitrary', 'arbitrary')))
 
     def fn(tables, freq_sel, start_sel):
-        table, active = tables
-        return call(table, active, freq_sel, start_sel)
+        table, active, active_cm = tables
+        return call(table, active_cm, freq_sel, start_sel)
 
     return fn, sched

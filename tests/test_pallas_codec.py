@@ -110,3 +110,52 @@ def test_batch_size_independence():
     res = codec.encode_batch(params, syms, centers)      # encoded at B=3
     one = codec.decode(params, res[1].bitstream, centers)  # decoded at B=1
     np.testing.assert_array_equal(one, syms[1].astype(np.int32))
+
+
+def test_bsub_batched_kernel_stream_invariance(monkeypatch):
+    """The bsub=2 segment-batched bf16 kernel must produce bitwise
+    identical streams to the bsub=1 bf16 kernel (same precision): real
+    cells never read across segment boundaries."""
+    pc, cfg, params, centers, rng = _setup(seed=11)
+    syms = rng.randint(0, 6, size=(4, 4, 6, 7)).astype(np.int8)
+
+    from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
+
+    monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '2')
+    res2 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '1')
+    res1 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    monkeypatch.delenv('IMGCOMP_PALLAS_BSUB')
+    for a, b in zip(res2, res1):
+        assert a.bitstream == b.bitstream
+        assert a.theoretical_bits == pytest.approx(b.theoretical_bits,
+                                                   rel=1e-6)
+
+    # auto policy (even batch -> bf16 bsub=2) round-trips bit-exactly and
+    # cross-decodes at any batch size, including odd ones.
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    dec = codec.decode_batch(params, [r.bitstream for r in res2], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+    dec1 = codec.decode_batch(params, [res2[3].bitstream], centers)
+    np.testing.assert_array_equal(dec1[0], syms[3].astype(np.int32))
+
+
+def test_odd_batch_uses_f32_and_roundtrips():
+    pc, cfg, params, centers, rng = _setup(seed=12)
+    syms = rng.randint(0, 6, size=(3, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    assert all(codec_lib.stream_prec(r.bitstream) == 0 for r in res)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_prec_forced_f32(monkeypatch):
+    monkeypatch.setenv('IMGCOMP_PALLAS_PREC', 'f32')
+    pc, cfg, params, centers, rng = _setup(seed=13)
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    assert all(codec_lib.stream_prec(r.bitstream) == 0 for r in res)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
