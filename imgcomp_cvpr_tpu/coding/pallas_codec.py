@@ -109,10 +109,11 @@ class PallasCoder:
 
         @functools.partial(jax.jit, static_argnames=('nbucket',))
         def pad_stream(words_bucket, nbucket):
-            # (b_out, bsub, nbucket) real words -> (b_out, bsub*wrows, 128)
-            # kernel buffer; only the real words cross the host link.
+            # (b_out, bsub, nbucket) real words (uint16 on the wire: rANS
+            # renorm words are 16-bit) -> (b_out, bsub*wrows, 128) buffer.
             full = jnp.zeros((b_out, bsub, wrows * 128), jnp.uint32)
-            full = full.at[:, :, :nbucket].set(words_bucket)
+            full = full.at[:, :, :nbucket].set(
+                words_bucket.astype(jnp.uint32))
             return full.reshape(b_out, bsub * wrows, 128)
 
         from . import codec as codec_lib
@@ -285,8 +286,11 @@ class PallasCoder:
         row_idx = np.concatenate(
             [np.arange(i * ks.wrows, i * ks.wrows + rneed)
              for i in range(ks.bsub)])
-        sel = jnp.take(words, jnp.asarray(row_idx), axis=1)
-        host_words = np.asarray(jax.device_get(sel)).reshape(b, rneed * 128)
+        # 16-bit on the wire (words are rANS renorm halves): halves the
+        # host-link transfer.
+        sel = jnp.take(words, jnp.asarray(row_idx), axis=1).astype(jnp.uint16)
+        host_words = np.asarray(jax.device_get(sel)).reshape(
+            b, rneed * 128).astype(np.uint32)
         prec = 1 if ring16 else 0
         results = []
         for i in range(b):
@@ -322,7 +326,7 @@ class PallasCoder:
             raise ValueError(
                 f'stream length {nmax} exceeds the kernel word cap {cap}')
         nbucket = min(pk._round_up(nmax, 4096), cap)
-        packed = np.zeros((b, nbucket), np.uint32)
+        packed = np.zeros((b, nbucket), np.uint16)
         states = np.zeros((b, 1, pk.R), np.uint32)
         for i, (_, stream_words, st, _crc) in enumerate(parsed):
             assert len(st) == pk.R, (len(st), pk.R)

@@ -460,6 +460,12 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     assert L >= 2
     rdt = jnp.bfloat16 if ring16 else jnp.float32
     BR = bsub * R
+    # Interpret mode (CPU tests) uses 1 wavefront step per grid iteration:
+    # the 8-step unroll exists to amortize Mosaic pipeline overhead on TPU,
+    # and only bloats the traced graph 8x under the interpreter (large
+    # enough to stress the XLA CPU compiler). Per-symbol math and streams
+    # are identical for any blocking.
+    KS = 1 if interpret else K_STEPS
 
     ablate = _ABLATE
     if interpret:
@@ -505,7 +511,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
         # Chunk-major outputs need no pre-zeroing: lanes of skipped chunks
         # are garbage but every consumer masks by the active_cm layout.
-        for k in range(K_STEPS):
+        for k in range(KS):
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                       w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
@@ -519,7 +525,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                   act_ref, acm_ref, true_ref, stream_ref,
                   sym_out, fsel_out, ssel_out,
                   r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
-        t = tb * K_STEPS + k
+        t = tb * KS + k
         slot = jax.lax.rem(t, VR)
         if ablate in ('staticslot', 'staticboth'):  # timing probe only
             rows = [(k - 31 + off) % VR for off in _OFFS]
@@ -668,10 +674,10 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         r0[slot] = (jnp.zeros((Q_CH, W_ALL), jnp.float32) + _roll(
             rect, table_ref[k, 0, _TBL_Q])).astype(rdt)
 
-    TB = sched.table.shape[0] // K_STEPS
+    TB = sched.table.shape[0] // KS
     grid = (B, TB)
     in_specs = [
-        pl.BlockSpec((K_STEPS, 1, NS), lambda b, t: (t, 0, 0),
+        pl.BlockSpec((KS, 1, NS), lambda b, t: (t, 0, 0),
                      memory_space=pltpu.SMEM),                         # table
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # mode
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # pad
@@ -687,16 +693,16 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k2
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # k3
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # centers
-        pl.BlockSpec((K_STEPS, 1, W_ALL), lambda b, t: (t, 0, 0)),     # active
-        pl.BlockSpec((K_STEPS, 1, CQB), lambda b, t: (t, 0, 0)),       # act_cm
-        pl.BlockSpec((1, K_STEPS, 1, CQB), lambda b, t: (b, t, 0, 0)),  # true
+        pl.BlockSpec((KS, 1, W_ALL), lambda b, t: (t, 0, 0)),     # active
+        pl.BlockSpec((KS, 1, CQB), lambda b, t: (t, 0, 0)),       # act_cm
+        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),  # true
         pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),  # stream
         pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),              # states
     ]
     out_specs = tuple(
-        pl.BlockSpec((1, K_STEPS, 1, CQB), lambda b, t: (b, t, 0, 0))
+        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
         for _ in range(3))
-    T_pad = TB * K_STEPS
+    T_pad = TB * KS
     # All-i32 outputs: freq/cdf values are < 2^17, and unsigned output
     # blocks fall off Mosaic's pipelined-DMA path (measured ~25 us/step).
     out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
@@ -795,6 +801,7 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
     NS = sched.table.shape[-1]
     wrows = kernel_stream_rows(sched, bsub)
     BR = bsub * R
+    KS = 1 if interpret else K_STEPS   # see make_forward
     ablate = _ABLATE_REV
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
@@ -808,7 +815,7 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                 gw_s[i] = 0
             words_out[:] = jnp.zeros(words_out.shape, jnp.uint32)
 
-        for k in range(K_STEPS - 1, -1, -1):
+        for k in range(KS - 1, -1, -1):
             _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
                       words_out, states_s, gw_s)
         # Mosaic-safe scalar placement: build the row with iota masking.
@@ -869,15 +876,15 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                     xn = ((st // f) << rans.SCALE_BITS) + (st % f) + sv
                 states_s[:] = jnp.where(a, xn, st)
 
-    TB = sched.table.shape[0] // K_STEPS
+    TB = sched.table.shape[0] // KS
     grid = (B, TB)
     in_specs = [
-        pl.BlockSpec((K_STEPS, 1, NS), lambda b, t: (TB - 1 - t, 0, 0),
+        pl.BlockSpec((KS, 1, NS), lambda b, t: (TB - 1 - t, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((K_STEPS, 1, CQB), lambda b, t: (TB - 1 - t, 0, 0)),
-        pl.BlockSpec((1, K_STEPS, 1, CQB),
+        pl.BlockSpec((KS, 1, CQB), lambda b, t: (TB - 1 - t, 0, 0)),
+        pl.BlockSpec((1, KS, 1, CQB),
                      lambda b, t: (b, TB - 1 - t, 0, 0)),
-        pl.BlockSpec((1, K_STEPS, 1, CQB),
+        pl.BlockSpec((1, KS, 1, CQB),
                      lambda b, t: (b, TB - 1 - t, 0, 0)),
     ]
     out_specs = (pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),

@@ -159,47 +159,82 @@ def train(ae_config_spec: str, pc_config_spec: str,
                 mesh, P(None, mesh_lib.DATA_AXIS)))
         return jax.device_put(stack)
 
-    intervals = [flags.log_interval_train, flags.log_interval_save]
-    if flags.log_interval_test > 0:
-        intervals.append(flags.log_interval_test)
+    # Intervals are rounded UP to multiples of steps_per_dispatch so the
+    # steady-state loop dispatches ONE compiled k-step variant (interval
+    # boundaries never force odd k values mid-run; a jit recompile while
+    # the prefetch thread uploads would race the remote-dispatch client).
+    spd = max(1, flags.steps_per_dispatch)
+    if flags.profile_steps:
+        spd = 1  # per-step traces
+
+    def _round_iv(iv):
+        return max(spd, -(-iv // spd) * spd)
+
+    iv_train = _round_iv(flags.log_interval_train)
+    iv_save = _round_iv(flags.log_interval_save)
+    iv_test = _round_iv(flags.log_interval_test) \
+        if flags.log_interval_test > 0 else -1
+    intervals = [iv_train, iv_save] + ([iv_test] if iv_test > 0 else [])
 
     def steps_this_dispatch(itr: int) -> int:
-        k = max(1, flags.steps_per_dispatch)
+        k = spd
         for iv in intervals:
             k = min(k, iv - itr % iv)
         if flags.max_steps is not None:
             k = min(k, flags.max_steps - itr)
-        if flags.profile_steps:
-            k = 1  # per-step traces
         return max(1, k)
 
+    # One-dispatch-ahead prefetch: the host crop/stack work AND the
+    # host->device upload of dispatch i+1 overlap the device compute of
+    # dispatch i (the upload is the throughput limiter on slow links).
+    # The prefetch thread is only active BETWEEN same-shape dispatches:
+    # the first dispatch (which compiles) and any odd-k tail run with the
+    # thread idle — concurrent device_put during a remote compile can
+    # deadlock the dispatch client.
+    from concurrent.futures import ThreadPoolExecutor
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+
+    def produce(at_itr):
+        k = steps_this_dispatch(at_itr)
+        if k > 1:
+            stack = np.stack([ip_train.get_batch() for _ in range(k)])
+            return k, put_multi(stack)
+        return 1, put(ip_train.get_batch())
+
     itr = start_itr
+    pending = None
     try:
         while flags.max_steps is None or itr < flags.max_steps:
             if flags.profile_steps and itr == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
-            k = steps_this_dispatch(itr)
+            k, dev_batch = pending.result() if pending is not None \
+                else produce(itr)
+            pending = None
+            nxt = itr + k
+            more = flags.max_steps is None or nxt < flags.max_steps
+            # prefetch only if this dispatch cannot trigger a compile (its
+            # k-variant already ran) and the next has the same k
+            if more and itr > start_itr and steps_this_dispatch(nxt) == k:
+                pending = prefetcher.submit(produce, nxt)
             if k > 1:
-                stack = np.stack([ip_train.get_batch() for _ in range(k)])
-                state, comps = trainer.train_multi(state, put_multi(stack))
+                state, comps = trainer.train_multi(state, dev_batch)
             else:
-                batch = put(ip_train.get_batch())
-                state, comps = trainer.train_step(state, batch)
+                state, comps = trainer.train_step(state, dev_batch)
             itr += k  # tracked locally; int(state.step) would sync every step
             timer.add(k * ae_config.batch_size)
             if flags.profile_steps and itr == 10 + flags.profile_steps:
                 jax.profiler.stop_trace()
 
-            if itr % flags.log_interval_train == 0:
+            if itr % iv_train == 0:
                 scalars = {k: float(v) for k, v in jax.device_get(comps).items()}
                 scalars['img_per_sec'] = timer.get_avg_ex_per_sec()
                 train_logger.log(itr, scalars)
                 timer.reset()
 
-            if itr % flags.log_interval_save == 0:
+            if itr % iv_save == 0:
                 saver.save(state, itr)
 
-            if flags.log_interval_test > 0 and itr % flags.log_interval_test == 0:
+            if iv_test > 0 and itr % iv_test == 0:
                 test_batch_np = ip_test.get_batch()
                 test_batch = put(test_batch_np)
                 test_out = jax.device_get(trainer.eval_step(state, test_batch))
@@ -211,6 +246,9 @@ def train(ae_config_spec: str, pc_config_spec: str,
                                                      scalars.get('ms_ssim', 0.0)))
                 test_logger.log(itr, scalars)
     finally:
+        if pending is not None:
+            pending.cancel()
+        prefetcher.shutdown(wait=False)
         ip_train.stop()
         ip_test.stop()
         saver.save(state, max(itr, 1))

@@ -21,3 +21,22 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _free_compiled_executables_between_modules():
+    """The interpret-mode Pallas kernels trace to very large XLA graphs;
+    dozens of per-(shape, batch, precision) executables accumulating in one
+    pytest process have caused compiler OOM segfaults. Drop every compile
+    cache when a test module finishes."""
+    yield
+    from imgcomp_cvpr_tpu.coding import pallas_kernel as pk
+    pk.make_forward.cache_clear()
+    pk.make_reverse.cache_clear()
+    jax.clear_caches()
+    gc.collect()
