@@ -8,6 +8,8 @@ Usage: python _ablate.py [full norans noconv notaps nodot empty] [B]
 import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 

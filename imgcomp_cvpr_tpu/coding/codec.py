@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import functools
 import io
-import zlib
 from typing import NamedTuple, Tuple
 
 import jax

@@ -13,7 +13,6 @@ Replaces ref bit_counter.py:13-74's per-image Python round-trip driver.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

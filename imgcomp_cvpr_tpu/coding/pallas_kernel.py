@@ -590,7 +590,11 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         # reference ReLUs its output layer too (ref: probclass.py:220-233).
         fill_X(r3, 4, kf)
         logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K))
-        freq, cdf = _quantize_cdf_kernel(logits, L)    # (L, W_ALL) i32
+        if ablate == 'nocdf':   # timing probe only
+            freq = jnp.full(logits.shape, 1024, jnp.int32)
+            cdf = jnp.zeros(logits.shape, jnp.int32)
+        else:
+            freq, cdf = _quantize_cdf_kernel(logits, L)  # (L, W_ALL) i32
 
         mode = mode_ref[0]
         lidx = jax.lax.broadcasted_iota(jnp.int32, (L, BR), 0)
@@ -669,6 +673,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         # Q-row write: each image's latent rectangle sits at its segment of
         # a pad-valued row, rotated into place (dynamic lane-granularity
         # stores are not lowerable).
+        if ablate == 'noqwrite':   # timing probe only
+            return
         pad = pad_ref[0]
         rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, W_ALL)
         r0[slot] = (jnp.zeros((Q_CH, W_ALL), jnp.float32) + _roll(
