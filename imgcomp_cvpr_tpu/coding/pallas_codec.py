@@ -384,15 +384,13 @@ def _fold_weights(pc, pc_config, kf, L, pc_params, centers):
     # of each tap group carries the weight.
     w1e = jnp.zeros((18, pk.Q_CH, kf), jnp.float32).at[:, 0, :].set(
         w1.reshape(18, kf)).reshape(18 * pk.Q_CH, kf)
-    # All-pad activation constants seed the rings (a VALID conv of a
-    # constant volume is constant; ref probclass.py:268-292 pad semantics).
-    patch = jnp.full((1, 5, 11, 11), pad_value, jnp.float32)
-    acts = pc.net.apply(pc_params, patch, return_activations=True)
-    # Channel vectors are sublane-major (ch, 1) to match the transposed
-    # (channels, cells) plane layout of the kernel.
-    k1 = acts['l1'][0, 0, 0, 0][:, None]
-    k2 = acts['l2'][0, 0, 0, 0][:, None]
-    k3 = acts['l3'][0, 0, 0, 0][:, None]
+    # All-pad activation constants seed the rings (shared with the XLA
+    # ring impl, coding/ring.py: the two impls must agree on pad
+    # semantics). Channel vectors become sublane-major (ch, 1) to match
+    # the transposed (channels, cells) plane layout of the kernel.
+    from .ring import _pad_constants
+    k1c, k2c, k3c = _pad_constants(pc, pc_params, pad_value)
+    k1, k2, k3 = k1c[:, None], k2c[:, None], k3c[:, None]
     return (jnp.full((1,), pad_value, jnp.float32), w1e, b1[:, None],
             w2, b2[:, None], w3, b3[:, None], w4, b4[:, None],
             k1, k2, k3, centers[:, None])

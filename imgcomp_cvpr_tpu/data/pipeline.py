@@ -146,15 +146,39 @@ class RecordsDataset(Dataset):
         self.paths = [f'{self._shards[s]}#{i - self._base[s]}'
                       for i, s in enumerate(self._shard_of)]
 
+    # Per-(shard, thread) handles so seeks from different pipeline workers
+    # never race on a shared file position; LRU-capped per thread so a
+    # 1000+-shard epoch cannot exhaust the process fd limit.
+    _MAX_OPEN_PER_THREAD = 16
+
     def _file(self, shard_i: int):
-        # One open handle per (shard, thread): seeks from different pipeline
-        # workers must not race on a shared file position.
         key = (shard_i, threading.get_ident())
         f = self._files.get(key)
         if f is None:
+            mine = [k for k in self._files if k[1] == key[1]]
+            if len(mine) >= self._MAX_OPEN_PER_THREAD:
+                oldest = mine[0]  # dict preserves insertion order
+                try:
+                    self._files.pop(oldest).close()
+                except OSError:
+                    pass
             f = open(self._shards[shard_i], 'rb')
             self._files[key] = f
         return f
+
+    def close(self) -> None:
+        for f in self._files.values():
+            try:
+                f.close()
+            except OSError:
+                pass
+        self._files.clear()
+
+    def __del__(self):  # best-effort fd cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _record(self, idx: int) -> bytes:
         shard_i = int(self._shard_of[idx])

@@ -71,7 +71,9 @@ def jpeg_content_length(data: bytes) -> int:
     sos = data.find(b'\xff\xda')
     if sos < 0:
         raise ValueError('no start-of-scan marker: not a JPEG?')
-    # content runs from the byte after the marker to just before FF D9
+    # size minus the index of the DA byte minus the 2-byte EOI — the
+    # reference's exact accounting (it also anchors on the FIRST FF DA,
+    # ref other_codecs.py:258-263).
     return len(data) - (sos + 1) - 2
 
 
@@ -116,6 +118,9 @@ def jp2k_compress_kakadu(img: np.ndarray, target_bpp: float
              '-rate', str(float(target_bpp)), '-no_weights']).decode()
         m = re.search(r'Compressed bytes \(excludes codestream headers\)'
                       r' = .*=\s(.*)\sbpp', out)
+        if m is None:
+            raise ValueError(
+                f'could not parse kdu_compress bpp report:\n{out[-500:]}')
         actual_bpp = float(m.group(1))
         subprocess.check_call([KDU_EXPAND, '-i', j2_p, '-o', out_p])
         decoded = _load_rgb(out_p)

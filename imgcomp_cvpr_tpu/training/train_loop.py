@@ -184,16 +184,12 @@ def train(ae_config_spec: str, pc_config_spec: str,
             k = min(k, flags.max_steps - itr)
         return max(1, k)
 
-    # One-dispatch-ahead prefetch: the host crop/stack work AND the
-    # host->device upload of dispatch i+1 overlap the device compute of
-    # dispatch i (the upload is the throughput limiter on slow links).
-    # The prefetch thread is only active BETWEEN same-shape dispatches:
-    # the first dispatch (which compiles) and any odd-k tail run with the
-    # thread idle — concurrent device_put during a remote compile can
-    # deadlock the dispatch client.
-    from concurrent.futures import ThreadPoolExecutor
-    prefetcher = ThreadPoolExecutor(max_workers=1)
-
+    # One-dispatch-ahead prefetch, single-threaded: dispatch i is queued
+    # asynchronously, then batch i+1's host crop/stack AND host->device
+    # upload run on the main thread WHILE the device crunches dispatch i
+    # (the upload is the throughput limiter on slow links). No worker
+    # thread: concurrent client RPCs (upload in a thread while the main
+    # thread compiles or fetches) deadlock the remote-dispatch client.
     def produce(at_itr):
         k = steps_this_dispatch(at_itr)
         if k > 1:
@@ -207,19 +203,16 @@ def train(ae_config_spec: str, pc_config_spec: str,
         while flags.max_steps is None or itr < flags.max_steps:
             if flags.profile_steps and itr == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
-            k, dev_batch = pending.result() if pending is not None \
-                else produce(itr)
+            k, dev_batch = pending if pending is not None else produce(itr)
             pending = None
-            nxt = itr + k
-            more = flags.max_steps is None or nxt < flags.max_steps
-            # prefetch only if this dispatch cannot trigger a compile (its
-            # k-variant already ran) and the next has the same k
-            if more and itr > start_itr and steps_this_dispatch(nxt) == k:
-                pending = prefetcher.submit(produce, nxt)
             if k > 1:
                 state, comps = trainer.train_multi(state, dev_batch)
             else:
                 state, comps = trainer.train_step(state, dev_batch)
+            nxt = itr + k
+            if flags.max_steps is None or nxt < flags.max_steps:
+                # overlaps the (async) dispatch above on the device
+                pending = produce(nxt)
             itr += k  # tracked locally; int(state.step) would sync every step
             timer.add(k * ae_config.batch_size)
             if flags.profile_steps and itr == 10 + flags.profile_steps:
@@ -246,9 +239,6 @@ def train(ae_config_spec: str, pc_config_spec: str,
                                                      scalars.get('ms_ssim', 0.0)))
                 test_logger.log(itr, scalars)
     finally:
-        if pending is not None:
-            pending.cancel()
-        prefetcher.shutdown(wait=False)
         ip_train.stop()
         ip_test.stop()
         saver.save(state, max(itr, 1))

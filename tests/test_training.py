@@ -244,3 +244,29 @@ def test_records_dataset_scales(tmp_path):
     # simply verify it still reads correctly through the mmap path
     ds2 = pipeline.get_dataset(str(tmp_path / '*.tfrecord'))
     np.testing.assert_array_equal(ds2.load(5), imgs[5])
+
+
+def test_records_dataset_fd_cap(tmp_path):
+    """Open-file handles per thread are LRU-capped so ImageNet-scale shard
+    counts cannot exhaust the process fd limit (advisor finding, round 2)."""
+    tf = pytest.importorskip('tensorflow')
+    from PIL import Image
+    import io as io_mod
+    rng = np.random.RandomState(1)
+    n_shards = pipeline.RecordsDataset._MAX_OPEN_PER_THREAD + 4
+    for s in range(n_shards):
+        shard = str(tmp_path / f'train-{s:05d}.tfrecord')
+        with tf.io.TFRecordWriter(shard) as w:
+            img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+            buf = io_mod.BytesIO()
+            Image.fromarray(img).save(buf, 'PNG')
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                'image/encoded': tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[buf.getvalue()]))}))
+            w.write(ex.SerializeToString())
+    ds = pipeline.get_dataset(str(tmp_path / '*.tfrecord'))
+    for i in range(ds.num_images):
+        ds.load(i)
+    assert len(ds._files) <= pipeline.RecordsDataset._MAX_OPEN_PER_THREAD
+    ds.close()
+    assert not ds._files

@@ -22,6 +22,9 @@ def main():
     p.add_argument('--log_interval_test', '-ltest', type=int, default=1000,
                    help='Set to -1 to skip testing.')
     p.add_argument('--max_steps', type=int, default=None)
+    p.add_argument('--steps_per_dispatch', type=int, default=8,
+                   help='Training steps fused into one device dispatch '
+                        '(jitted scan); 1 disables fusion.')
     p.add_argument('--profile_steps', type=int, default=None,
                    help='Capture a jax.profiler trace of N steps starting at step 10.')
     p.add_argument('--temporary', '-t', action='store_true',
@@ -55,7 +58,8 @@ def main():
         log_interval_test=flags.log_interval_test,
         log_interval_save=flags.log_interval_save,
         max_steps=flags.max_steps,
-        profile_steps=flags.profile_steps)
+        profile_steps=flags.profile_steps,
+        steps_per_dispatch=flags.steps_per_dispatch)
 
     train_loop.train(
         flags.autoencoder_config_path, flags.probclass_config_path,
