@@ -194,6 +194,19 @@ class PallasCoder:
         fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b_out,
                                      bsub=bsub, ring16=ring16,
                                      interpret=interp)
+        # Encode uses the chunk-parallel teacher-forced variant (no
+        # sequential rANS simulation); its logits->CDF pipeline is the
+        # identical program, tested bit-compatible with the decode
+        # executable. IMGCOMP_PALLAS_ENCPAR=0 falls back to the shared
+        # executable.
+        import os as _os
+        if _os.environ.get('IMGCOMP_PALLAS_ENCPAR', '1') == '0':
+            fwd_enc = fwd
+        else:
+            fwd_enc, _ = pk.make_forward(latent_shape, self.kf, self.L,
+                                         b_out, bsub=bsub, ring16=ring16,
+                                         enc_parallel=True,
+                                         interpret=interp)
         rev, _ = pk.make_reverse(latent_shape, b_out, bsub=bsub,
                                  interpret=interp)
         tables, _ = self._tables(latent_shape, bsub)
@@ -210,8 +223,8 @@ class PallasCoder:
             streams = jnp.zeros((b_out, bsub * wrows, 128), jnp.uint32)
             states = jnp.full((b_out, 1, bsub * pk.R), rans.RANS_L,
                               jnp.uint32)
-            _, fsel, ssel = fwd(weights, tables, true_syms, streams, states,
-                                jnp.ones((1,), jnp.int32))
+            _, fsel, ssel = fwd_enc(weights, tables, true_syms, streams,
+                                    states, jnp.ones((1,), jnp.int32))
             words, n_words, st = rev(tables, fsel, ssel)
             return (words, n_words, st, theoretical_bits(fsel),
                     checksum_syms(symbols_flat))

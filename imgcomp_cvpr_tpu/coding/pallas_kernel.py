@@ -425,7 +425,7 @@ def _quantize_cdf_kernel(logits, L):
 @functools.lru_cache(maxsize=8)
 def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                  bsub: int = 1, ring16: bool = False,
-                 interpret: bool = False):
+                 enc_parallel: bool = False, interpret: bool = False):
     """Returns (fn, sched). fn(weights, tables, true_syms, streams,
     init_states, mode) -> (syms, freq_sel, start_sel), all (B, T, 1, CQB).
 
@@ -445,6 +445,13 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     Teacher symbols and the three outputs use the CHUNK-MAJOR layout:
     global lane cq = si * (bsub * R) + i * R + r for rANS sub-iteration si,
     image i, lane r; CQB = round_up(S * bsub * R, 128).
+
+    ``enc_parallel`` builds an ENCODE-ONLY variant: teacher forcing makes
+    the per-symbol tables independent of the rANS state, so the whole
+    sequential sub-iteration loop is replaced by one vectorized epilogue
+    over the full chunk-major row. The logits -> (freq, cdf) pipeline is
+    the identical program as the decode kernel's; a TPU test asserts its
+    streams decode bit-exactly through the standard executable.
     """
     sched = build_pallas_schedule(latent_shape)
     T, P, P_pad, S = sched.T, sched.P, sched.P_pad, sched.S
@@ -599,6 +606,36 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         mode = mode_ref[0]
         lidx = jax.lax.broadcasted_iota(jnp.int32, (L, BR), 0)
 
+        if enc_parallel:
+            # Teacher-forced encode: tables don't depend on the rANS state,
+            # so every sub-iteration is independent — one vectorized pass
+            # over the chunk-major row instead of the sequential loop.
+            fq_cm = jnp.concatenate(
+                [freq[:, i * LSEG + base:i * LSEG + base + R]
+                 for base in chunk_offs for i in range(bsub)], axis=1)
+            cl_cm = jnp.concatenate(
+                [cdf[:, i * LSEG + base:i * LSEG + base + R]
+                 for base in chunk_offs for i in range(bsub)], axis=1)
+            ncm = fq_cm.shape[1]                       # S * bsub * R
+            a_row = acm_ref[k, :, 0:ncm] != 0
+            sym = jnp.where(a_row, true_ref[0, k, :, 0:ncm], 0)
+            lidx_cm = jax.lax.broadcasted_iota(jnp.int32, (L, ncm), 0)
+            ohs = lidx_cm == sym
+            fsel = jnp.sum(jnp.where(ohs, fq_cm, 0), axis=0, keepdims=True)
+            ssel = jnp.sum(jnp.where(ohs, cl_cm, 0), axis=0, keepdims=True)
+            v_cm = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
+                           axis=0, keepdims=True)
+            sym_out[0, k, :, 0:ncm] = sym
+            fsel_out[0, k, :, 0:ncm] = fsel
+            ssel_out[0, k, :, 0:ncm] = ssel
+            for si, base in enumerate(chunk_offs):
+                for i in range(bsub):
+                    src = (si * bsub + i) * R
+                    vals[:, i * LSEG + base:i * LSEG + base + R] = \
+                        v_cm[:, src:src + R]
+            _q_write(k, table_ref, act_ref, pad_ref, vals, r0, slot)
+            return
+
         def img_cat(x2d, base):
             # (rows, W_ALL) -> (rows, bsub*R): image i's R lanes at base.
             if bsub == 1:
@@ -675,6 +712,9 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         # stores are not lowerable).
         if ablate == 'noqwrite':   # timing probe only
             return
+        _q_write(k, table_ref, act_ref, pad_ref, vals, r0, slot)
+
+    def _q_write(k, table_ref, act_ref, pad_ref, vals, r0, slot):
         pad = pad_ref[0]
         rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, W_ALL)
         r0[slot] = (jnp.zeros((Q_CH, W_ALL), jnp.float32) + _roll(

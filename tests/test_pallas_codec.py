@@ -159,3 +159,21 @@ def test_prec_forced_f32(monkeypatch):
     assert all(codec_lib.stream_prec(r.bitstream) == 0 for r in res)
     dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
     np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_enc_parallel_matches_shared_executable(monkeypatch):
+    """The chunk-parallel teacher-forced encode kernel must emit byte-
+    identical streams to the shared encode/decode executable (its logits ->
+    CDF pipeline is the same program; verified bit-exact on real TPU too)."""
+    pc, cfg, params, centers, rng = _setup(seed=21)
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+
+    from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
+    res_par = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    monkeypatch.setenv('IMGCOMP_PALLAS_ENCPAR', '0')
+    res_shr = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    for a, b in zip(res_par, res_shr):
+        assert a.bitstream == b.bitstream
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    dec = codec.decode_batch(params, [r.bitstream for r in res_par], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
