@@ -270,12 +270,32 @@ class LatentCodec:
 
     # ------------------------------------------------------------------
 
+    def _mesh_pad(self, b: int) -> int:
+        """Images to append so the batch divides the mesh's device count
+        (per-image results of the pad copies are dropped by finish)."""
+        if self.mesh is None:
+            return 0
+        ndev = int(self.mesh.devices.size)
+        return (ndev - b % ndev) % ndev
+
     def encode_batch_submit(self, pc_params, symbols: np.ndarray,
                             centers: np.ndarray):
         """Dispatch the device side of an encode without blocking: the CDF
         scan and the on-device reverse rANS. Returns an opaque handle for
         encode_batch_finish — letting callers overlap the host-side
-        fetch/serialize of one batch with the device work of the next."""
+        fetch/serialize of one batch with the device work of the next.
+        Mesh batches that don't divide the device count are padded by
+        repeating the last image (pad results dropped at finish)."""
+        if not isinstance(symbols, (np.ndarray, jax.Array)):
+            symbols = np.asarray(symbols)
+        pad = self._mesh_pad(symbols.shape[0])
+        if pad:
+            n_real = symbols.shape[0]
+            rep = (jnp.concatenate if isinstance(symbols, jax.Array)
+                   else np.concatenate)
+            symbols = rep([symbols] + [symbols[-1:]] * pad, axis=0)
+            return ('meshpad', n_real,
+                    self.encode_batch_submit(pc_params, symbols, centers))
         if self.impl == 'pallas':
             return ('pallas', self._pallas_coder().encode_batch_submit(
                 pc_params, symbols, centers))
@@ -297,6 +317,8 @@ class LatentCodec:
         return (latent_shape, symbols, buf, n_words, states, theo)
 
     def encode_batch_finish(self, handle) -> Tuple[EncodeResult, ...]:
+        if isinstance(handle, tuple) and handle and handle[0] == 'meshpad':
+            return self.encode_batch_finish(handle[2])[:handle[1]]
         if isinstance(handle, tuple) and handle and handle[0] == 'pallas':
             return self._pallas_coder().encode_batch_finish(handle[1])
         latent_shape, symbols, buf, n_words, states, theo = handle
@@ -332,6 +354,12 @@ class LatentCodec:
         """Dispatch the device side of a decode; returns a handle for
         decode_batch_finish. Routes to the implementation recorded in the
         container header (streams are impl-locked; the header self-routes)."""
+        pad = self._mesh_pad(len(bitstreams))
+        if pad:
+            n_real = len(bitstreams)
+            bitstreams = list(bitstreams) + [bitstreams[-1]] * pad
+            return ('meshpad', n_real,
+                    self.decode_batch_submit(pc_params, bitstreams, centers))
         impl_id = stream_impl_id(bitstreams[0])
         assert all(stream_impl_id(bs) == impl_id for bs in bitstreams), \
             'mixed codec impls in one decode batch'
@@ -367,6 +395,10 @@ class LatentCodec:
     def decode_batch_finish(self, handle, verify: bool = True,
                             device_out: bool = False) -> np.ndarray:
         if isinstance(handle, tuple) and handle:
+            if handle[0] == 'meshpad':
+                out = self.decode_batch_finish(handle[2], verify=verify,
+                                               device_out=device_out)
+                return out[:handle[1]]
             if handle[0] == 'routed':
                 return self._route(handle[1]).decode_batch_finish(
                     handle[2], verify=verify, device_out=device_out)

@@ -49,15 +49,14 @@ class PallasCoder:
         centers, last n_in_batch args batch-sharded; all outputs sharded."""
         if self.mesh is None:
             return jax.jit(fn)
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
         from ..parallel import mesh as mesh_lib
         d = P(mesh_lib.DATA_AXIS)
         in_specs = (P(), P()) + (d,) * n_in_batch
-        return jax.jit(shard_map(
+        return jax.jit(jax.shard_map(
             fn, mesh=self.mesh, in_specs=in_specs,
             out_specs=(d,) * n_out if n_out > 1 else d,
-            check_rep=False))
+            check_vma=False))
 
     # -- per-shape cached device constants -----------------------------------
 
@@ -167,7 +166,7 @@ class PallasCoder:
         return b % 2 == 0
 
     @functools.lru_cache(maxsize=16)
-    def _kernels(self, latent_shape, b, ring16):
+    def _kernels(self, latent_shape, b, ring16, bsub_max=None):
         # One jitted device function per direction. Packing/padding and the
         # pallas call MUST live in the same jit: the pack gather / pad
         # scatter produce non-default XLA layouts, and a pallas kernel
@@ -189,6 +188,8 @@ class PallasCoder:
             f'batch {b} must divide the {ndev}-device mesh evenly'
         bl = b // ndev
         bsub = self._pick_bsub(bl, ring16)
+        if bsub_max is not None:
+            bsub = min(bsub, bsub_max)
         assert bl % bsub == 0, (bl, bsub)
         b_out = bl // bsub
         fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b_out,
@@ -275,12 +276,12 @@ class PallasCoder:
         words, n_words, states, theo, crcs = ks.encode_dev(
             pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ring16, ks)
+                crcs, ring16, ks, pc_params, centers, symbols)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ring16, ks) = handle
+         ring16, ks, pc_params, centers, symbols) = handle
         theo, n_words, states, crcs = jax.device_get(
             (theo, n_words, states, crcs))
         crcs = np.asarray(crcs).reshape(b)
@@ -288,9 +289,25 @@ class PallasCoder:
         states = np.asarray(states).reshape(b, pk.R)
         cap = ks.wrows * 128
         if n_words.size and int(n_words.max()) > cap:
+            # The bsub>=2 kernel holds a reduced (bpp-8 worst case) stream
+            # buffer to fit VMEM; a pathologically long stream overflows it
+            # (the rows written past the cap were clamped away). Re-encode
+            # through the full-capacity bsub=1 kernel of the SAME ring
+            # precision — within one precision, streams are bitwise
+            # identical across bsub, so decodability is unaffected.
+            if ks.bsub > 1:
+                print(f'*** pallas encode: stream exceeded the bsub={ks.bsub} '
+                      f'word cap ({cap}); re-encoding with the full-capacity '
+                      'bsub=1 kernel')
+                ks1 = self._kernels(latent_shape, b, ring16, bsub_max=1)
+                words, n_words, states, theo, crcs = ks1.encode_dev(
+                    pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
+                return self.encode_batch_finish(
+                    (latent_shape, host_symbols, b, words, n_words, states,
+                     theo, crcs, ring16, ks1, pc_params, centers, symbols))
             raise ValueError(
-                f'stream exceeded the batched kernel word cap ({cap}); '
-                're-encode with IMGCOMP_PALLAS_PREC=f32 (full capacity)')
+                f'stream exceeded the kernel word cap ({cap}) even at '
+                'bsub=1 — the symbol volume is pathologically incompressible')
         # words: (b_out, bsub*wrows, 128) -> per-image rows; only the rows
         # that can hold real words cross the (slow) host link.
         wmax = int(n_words.max()) if n_words.size else 0
@@ -334,6 +351,12 @@ class PallasCoder:
         ks = self._kernels(latent_shape, b, ring16)
         cap = ks.wrows * 128
         nmax = max([1] + [len(p_[1]) for p_ in parsed])
+        if nmax > cap and ks.bsub > 1:
+            # Stream longer than the reduced bsub>=2 buffer (e.g. encoded
+            # through the full-capacity bsub=1 kernel): decode through
+            # bsub=1 of the same precision — bitwise-identical math.
+            ks = self._kernels(latent_shape, b, ring16, bsub_max=1)
+            cap = ks.wrows * 128
         if nmax > cap:
             raise ValueError(
                 f'stream length {nmax} exceeds the kernel word cap {cap}')

@@ -787,9 +787,11 @@ def kernel_stream_rows(sched, bsub: int = 1) -> int:
     """Stream-buffer rows per image held in VMEM by the kernels. At
     bsub >= 2, capped at a bpp-8 worst case (vs the absolute 16-bit/symbol
     bound) so the batched kernel fits VMEM; the codec driver checks real
-    streams against the cap (falling back to the full-capacity bsub=1
-    kernel) and the kernels clamp their row pointers, so a pathological
-    overflow corrupts (CRC-caught), never crashes."""
+    streams against the cap — encode re-runs overflowing batches through
+    the full-capacity bsub=1 kernel (same precision, bitwise-identical
+    streams) and decode routes over-cap streams to bsub=1 likewise
+    (pallas_codec.py) — and the kernels clamp their row pointers, so a
+    pathological overflow corrupts (CRC-caught), never crashes."""
     full = sched.wcap // 128 + 2
     if bsub == 1:
         return full

@@ -48,18 +48,30 @@ class ImagesIterator:
         self._cache: Optional[List[Optional[np.ndarray]]] = None
         self._cache_pad: Optional[int] = None
 
-    def _load(self, idx: int, pad: int) -> np.ndarray:
+    def _load(self, idx: int, pad: int) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
         if self._cache is not None and self._cache[idx] is not None:
             return self._cache[idx]
         from PIL import Image
         with Image.open(self.images_paths[idx]) as im:
             arr = np.asarray(im.convert('RGB'), np.uint8)
+        oh, ow = arr.shape[:2]
         arr, _ = add_padding(arr, pad)
+        hp_lo = (arr.shape[0] - oh) // 2
+        wp_lo = (arr.shape[1] - ow) // 2
+        item = (arr, (hp_lo, wp_lo, oh, ow))
         if self._cache is not None:
-            self._cache[idx] = arr
-        return arr
+            self._cache[idx] = item
+        return item
 
     def iter_imgs(self, pad: int) -> Iterator[Tuple[str, np.ndarray]]:
+        for name, arr, _ in self.iter_padded(pad):
+            yield name, arr
+
+    def iter_padded(self, pad: int
+                    ) -> Iterator[Tuple[str, np.ndarray, Tuple[int, int, int, int]]]:
+        """Yields (name, padded HWC uint8, (hp_lo, wp_lo, orig_h, orig_w)) —
+        the pad geometry lets callers undo the pad on outputs/metrics (the
+        reference left this as a TODO, ref: images_iterator.py:40)."""
         if self._cache is None or self._cache_pad != pad:
             from PIL import Image
             with Image.open(self.images_paths[0]) as im0:
@@ -69,7 +81,8 @@ class ImagesIterator:
             self._cache = [None] * len(self.images_paths) if use_cache else None
             self._cache_pad = pad
         for i, p in enumerate(self.images_paths):
-            yield path.basename(p), self._load(i, pad)
+            arr, pad_info = self._load(i, pad)
+            yield path.basename(p), arr, pad_info
 
     def __str__(self) -> str:
         return f'Dataset {self.dataset_name}, {len(self.images_paths)} paths'

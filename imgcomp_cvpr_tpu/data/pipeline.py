@@ -155,7 +155,10 @@ class RecordsDataset(Dataset):
         key = (shard_i, threading.get_ident())
         f = self._files.get(key)
         if f is None:
-            mine = [k for k in self._files if k[1] == key[1]]
+            # list(dict) is a C-level atomic snapshot: other worker threads
+            # insert into self._files concurrently, and iterating the live
+            # dict could raise "changed size during iteration".
+            mine = [k for k in list(self._files) if k[1] == key[1]]
             if len(mine) >= self._MAX_OPEN_PER_THREAD:
                 oldest = mine[0]  # dict preserves insertion order
                 try:

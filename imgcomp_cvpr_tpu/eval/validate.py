@@ -67,10 +67,12 @@ class EvalModel:
             self.batch_stats = jax.device_put(batch_stats)
 
     @functools.lru_cache(maxsize=32)
-    def _fetch_fn(self, b: int, h: int, w: int):
+    def _fetch_fn(self, b: int, h: int, w: int, pad_info):
+        hp_lo, wp_lo, oh, ow = pad_info
+
         @jax.jit
         def fetch(params, batch_stats, x_uint8):
-            x = x_uint8.astype(jnp.float32)        # (B, H, W, 3)
+            x = x_uint8.astype(jnp.float32)        # (B, H, W, 3) padded frame
             ae_vars = {'params': params['ae'], 'batch_stats': batch_stats}
             enc = self.ae.apply(ae_vars, x, False, method='encode')
             x_out = self.ae.apply(ae_vars, enc.qhard, False, method='decode')
@@ -81,26 +83,43 @@ class EvalModel:
                 pad_value=pc_lib.auto_pad_value(self.pc_config, centers,
                                                 {'params': params['pc']}))
             x_out_uint8 = x_out.astype(jnp.uint8)
-            x_out_f = x_out_uint8.astype(jnp.float32)
-            num_pixels = jnp.float32(h * w)
+            # Metrics and saved outputs on the UNPADDED frame (static crop;
+            # fixes the reference's open TODO, ref images_iterator.py:40).
+            # bpp uses the real pixel count too: the bits cover the padded
+            # latent, so pad rows honestly raise bpp for non-x8 inputs.
+            xc = jax.lax.slice(
+                x, (0, hp_lo, wp_lo, 0), (b, hp_lo + oh, wp_lo + ow, 3))
+            oc_uint8 = jax.lax.slice(
+                x_out_uint8, (0, hp_lo, wp_lo, 0),
+                (b, hp_lo + oh, wp_lo + ow, 3))
+            oc = oc_uint8.astype(jnp.float32)
+            num_pixels = jnp.float32(oh * ow)
             return {
                 'bpp': jnp.sum(bc, axis=(1, 2, 3)) / num_pixels,
                 'ms-ssim': jax.vmap(lambda a, b_: msssim_lib.msssim_eval(
-                    a[None], b_[None]))(x, x_out_f),
-                'psnr': metrics_lib.psnr_per_image(x, x_out_f, cast_to_int=True),
+                    a[None], b_[None]))(xc, oc),
+                'psnr': metrics_lib.psnr_per_image(xc, oc, cast_to_int=True),
                 'sym': enc.symbols,
-                'img_out': x_out_uint8,
+                'img_out': oc_uint8,
             }
         return fetch
 
-    def fetch_many(self, imgs_hwc_uint8) -> 'list[Dict[str, np.ndarray]]':
+    def fetch_many(self, imgs_hwc_uint8, pad_info=None,
+                   pad_batch_to: int = 0) -> 'list[Dict[str, np.ndarray]]':
         """Run a batch of same-shaped padded images in one device pass
         (the reference evaluates one image per sess.run, ref val.py:158);
-        returns one dict per image. With a mesh, the batch dim is sharded
-        over all devices (padded by repeating the last image; pad results
-        are dropped)."""
+        returns one dict per image. pad_info = (hp_lo, wp_lo, orig_h,
+        orig_w) crops metrics/outputs to the unpadded frame (None = whole
+        frame). pad_batch_to pins the compiled batch size (tail batches are
+        padded by repeating the last image; pad results are dropped — one
+        executable per shape instead of one per tail size). With a mesh,
+        the batch dim is additionally padded to the device count and
+        sharded."""
         n_real = len(imgs_hwc_uint8)
         batch = np.stack(imgs_hwc_uint8)
+        if pad_batch_to > n_real:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], pad_batch_to - n_real, axis=0)])
         if self.mesh is not None:
             from ..parallel import mesh as mesh_lib
             batch = mesh_lib.pad_batch_to_multiple(
@@ -109,7 +128,9 @@ class EvalModel:
         else:
             x_dev = jnp.asarray(batch)
         b, h, w = batch.shape[:3]
-        out = jax.device_get(self._fetch_fn(b, h, w)(
+        if pad_info is None:
+            pad_info = (0, 0, h, w)
+        out = jax.device_get(self._fetch_fn(b, h, w, tuple(pad_info))(
             self.params, self.batch_stats, x_dev))
         return [{k: v[i] for k, v in out.items()} for i in range(n_real)]
 
@@ -128,6 +149,26 @@ def build_eval_model_from_log_dir(log_dir: str, mesh=None) -> EvalModel:
     ae_config, _ = config_lib.parse(ae_path, base_dir=base_ae)
     pc_config, _ = config_lib.parse(pc_path, base_dir=base_pc)
     return EvalModel(ae_config, pc_config, mesh=mesh)
+
+
+def iter_shape_buckets(padded_iter, batch_size: int):
+    """Group (name, img, pad_info) items into same-shape batches of up to
+    batch_size, keyed by (padded shape, pad geometry): every image joins a
+    full batch regardless of dataset ordering (adjacency-only batching
+    degrades to B=1 on shape-interleaved datasets). Memory stays bounded
+    at #distinct-shapes x batch_size images. Yields (names, imgs,
+    pad_info)."""
+    buckets: Dict = {}
+    for img_name, img, pad_info in padded_iter:
+        key = (img.shape, pad_info)
+        names, imgs = buckets.setdefault(key, ([], []))
+        names.append(img_name)
+        imgs.append(img)
+        if len(imgs) >= batch_size:
+            yield names, imgs, pad_info
+            del buckets[key]
+    for (_, pad_info), (names, imgs) in buckets.items():
+        yield names, imgs, pad_info
 
 
 class ValuesAggregator:
@@ -169,6 +210,10 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
     codec = None
     if flags.real_bpp:
         from ..coding import codec as codec_mod
+        # Intentionally unsharded: the real-bpp roundtrip runs one image at
+        # a time (B=1), so there is nothing to shard over the mesh's data
+        # axis; the codec itself would pad B=1 up to the device count and
+        # throw the extra work away.
         codec = codec_mod.LatentCodec(eval_model.pc, eval_model.pc_config)
 
     saver = checkpoint_lib.Saver(val_dirs.ckpt_dir)
@@ -182,15 +227,17 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
         measures_writer = MeasuresWriter(val_dirs.out_dir)
         img_counter = [0]
 
-        def process(names, imgs):
-            """One batched device pass over consecutive same-shaped images
-            (the reference runs one sess.run per image, ref val.py:158)."""
-            outs = eval_model.fetch_many(imgs)
+        def process(names, imgs, pad_info):
+            """One batched device pass over same-shaped images (the
+            reference runs one sess.run per image, ref val.py:158). Metrics
+            are computed on the unpadded frame (pad_info)."""
+            outs = eval_model.fetch_many(imgs, pad_info=pad_info,
+                                         pad_batch_to=flags.eval_batch)
+            num_pixels = pad_info[2] * pad_info[3]
             for img_name, img, otp in zip(names, imgs, outs):
                 measures_writer.append(img_name, {k: float(otp[k])
                                                   for k in ('bpp', 'ms-ssim', 'psnr')})
                 if flags.real_bpp:
-                    num_pixels = img.shape[0] * img.shape[1]
                     centers = jax.device_get(
                         eval_model.params['ae']['encoder']['centers'])
                     syms_chw = np.transpose(otp['sym'], (2, 0, 1))  # NHWC -> CHW
@@ -211,17 +258,10 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
                       f'Mean: {agg.averages_str()}', flush=True)
                 img_counter[0] += 1
 
-        buf_names, buf_imgs = [], []
-        for img_name, img in images_iterator.iter_imgs(
-                pad=ae_lib.SUBSAMPLING_FACTOR):
-            if buf_imgs and (img.shape != buf_imgs[0].shape
-                             or len(buf_imgs) >= flags.eval_batch):
-                process(buf_names, buf_imgs)
-                buf_names, buf_imgs = [], []
-            buf_names.append(img_name)
-            buf_imgs.append(img)
-        if buf_imgs:
-            process(buf_names, buf_imgs)
+        for names, imgs, pad_info in iter_shape_buckets(
+                images_iterator.iter_padded(pad=ae_lib.SUBSAMPLING_FACTOR),
+                flags.eval_batch):
+            process(names, imgs, pad_info)
         measures_writer.close()
         avgs = agg.averages()
         # Distance to BPG at the mean operating point (ref: val.py:198-206).

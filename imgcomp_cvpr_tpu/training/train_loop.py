@@ -22,6 +22,7 @@ from ..utils import config as config_lib
 from ..utils import logdir as logdir_lib
 from ..utils import logger as logger_lib
 from ..utils import registry as registry_lib
+from ..utils import watchdog as watchdog_lib
 from . import checkpoint as checkpoint_lib
 from .trainer import Trainer
 
@@ -36,6 +37,14 @@ class TrainFlags:
     # Steps fused into one device dispatch (jitted lax.scan): amortizes the
     # host->device dispatch latency; never crosses a log/save/test boundary.
     steps_per_dispatch: int = 8
+    # Watchdog deadline for any blocking device fetch: the axon server has
+    # been observed to wedge executing large multi-step executables (accepts
+    # the dispatch, result never materializes). The first multi-step
+    # dispatch is verified against this deadline and falls back to
+    # steps_per_dispatch=1 on a stall; later stalls abort loudly instead of
+    # hanging forever. Generous default — it must cover a 1-5 min remote
+    # compile of the fused train step.
+    dispatch_timeout_s: float = 900.0
 
 
 def _dump_test_images(log_dir: str, itr: int, trainer: Trainer, state,
@@ -166,15 +175,23 @@ def train(ae_config_spec: str, pc_config_spec: str,
     spd = max(1, flags.steps_per_dispatch)
     if flags.profile_steps:
         spd = 1  # per-step traces
+    iv_train = iv_save = iv_test = 0
+    intervals = []
 
-    def _round_iv(iv):
-        return max(spd, -(-iv // spd) * spd)
+    def set_spd(new_spd: int) -> None:
+        nonlocal spd, iv_train, iv_save, iv_test, intervals
+        spd = new_spd
 
-    iv_train = _round_iv(flags.log_interval_train)
-    iv_save = _round_iv(flags.log_interval_save)
-    iv_test = _round_iv(flags.log_interval_test) \
-        if flags.log_interval_test > 0 else -1
-    intervals = [iv_train, iv_save] + ([iv_test] if iv_test > 0 else [])
+        def _round_iv(iv):
+            return max(spd, -(-iv // spd) * spd)
+
+        iv_train = _round_iv(flags.log_interval_train)
+        iv_save = _round_iv(flags.log_interval_save)
+        iv_test = _round_iv(flags.log_interval_test) \
+            if flags.log_interval_test > 0 else -1
+        intervals = [iv_train, iv_save] + ([iv_test] if iv_test > 0 else [])
+
+    set_spd(spd)
 
     def steps_this_dispatch(itr: int) -> int:
         k = spd
@@ -199,13 +216,39 @@ def train(ae_config_spec: str, pc_config_spec: str,
 
     itr = start_itr
     pending = None
+    state_ok = True  # False after a stall: the state buffers are lost
+    multi_verified = False
     try:
         while flags.max_steps is None or itr < flags.max_steps:
             if flags.profile_steps and itr == 10:
                 jax.profiler.start_trace(os.path.join(log_dir, 'profile'))
             k, dev_batch = pending if pending is not None else produce(itr)
             pending = None
-            if k > 1:
+            if k > 1 and not multi_verified:
+                # First multi-step dispatch of the run: verify it actually
+                # executes within the watchdog deadline. The axon server
+                # has wedged exactly here (compile ok, execution never
+                # completes); the input state is donated, so a host
+                # snapshot is kept for the fallback re-upload.
+                host_state = jax.device_get(state)
+                state, comps = trainer.train_multi(state, dev_batch)
+                try:
+                    watchdog_lib.fetch_with_timeout(
+                        comps, flags.dispatch_timeout_s,
+                        what=f'first {k}-step fused dispatch')
+                    multi_verified = True
+                except watchdog_lib.DispatchStallError as e:
+                    print(f'*** WATCHDOG: {e}\n'
+                          f'*** Falling back to steps_per_dispatch=1 and '
+                          f'restoring the pre-dispatch state (step {itr}).')
+                    state = (mesh_lib.replicate(host_state, mesh)
+                             if mesh is not None
+                             else jax.device_put(host_state))
+                    set_spd(1)
+                    multi_verified = True  # don't re-probe at spd=1
+                    continue  # itr unchanged; next produce() uses spd=1
+                del host_state
+            elif k > 1:
                 state, comps = trainer.train_multi(state, dev_batch)
             else:
                 state, comps = trainer.train_step(state, dev_batch)
@@ -219,7 +262,13 @@ def train(ae_config_spec: str, pc_config_spec: str,
                 jax.profiler.stop_trace()
 
             if itr % iv_train == 0:
-                scalars = {k: float(v) for k, v in jax.device_get(comps).items()}
+                try:
+                    fetched = watchdog_lib.fetch_with_timeout(
+                        comps, flags.dispatch_timeout_s, what='train metrics')
+                except watchdog_lib.DispatchStallError:
+                    state_ok = False
+                    raise
+                scalars = {k: float(v) for k, v in fetched.items()}
                 scalars['img_per_sec'] = timer.get_avg_ex_per_sec()
                 train_logger.log(itr, scalars)
                 timer.reset()
@@ -241,7 +290,11 @@ def train(ae_config_spec: str, pc_config_spec: str,
     finally:
         ip_train.stop()
         ip_test.stop()
-        saver.save(state, max(itr, 1))
+        if state_ok:
+            saver.save(state, max(itr, 1))
+        else:
+            print('*** WATCHDOG: skipping final checkpoint — state buffers '
+                  'were lost in a wedged dispatch')
         train_logger.close()
         test_logger.close()
     return log_dir

@@ -146,6 +146,26 @@ def test_sharded_codec_bitstreams_match_single(impl):
     np.testing.assert_array_equal(out, syms.astype(np.int32))
 
 
+def test_sharded_codec_pads_indivisible_batch():
+    """batch % ndev != 0 must pad + drop, not fail (VERDICT r2 #6): 9
+    images over the 8-device mesh round-trip bit-exactly and produce the
+    same bitstreams as the single-device codec."""
+    mesh = mesh_lib.make_mesh()
+    codec8, pc_vars, syms, centers = _codec_setup('ring', mesh)
+    codec1, _, _, _ = _codec_setup('ring', None)
+    syms9 = np.concatenate([syms, syms[:1]], axis=0)  # 9 % 8 != 0
+
+    res9 = codec8.encode_batch(pc_vars, syms9, centers)
+    assert len(res9) == 9
+    res1 = codec1.encode_batch(pc_vars, syms9, centers)
+    for a, b in zip(res9, res1):
+        assert a.bitstream == b.bitstream
+
+    out = codec8.decode_batch(pc_vars, [r.bitstream for r in res9], centers)
+    assert out.shape[0] == 9
+    np.testing.assert_array_equal(out, syms9.astype(np.int32))
+
+
 def test_dp_ten_step_trajectory_matches_single_device():
     """Multi-step trajectory comparison (VERDICT r1 weak #6): after 10
     optimizer steps the sharded and single-device runs must still agree —

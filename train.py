@@ -24,7 +24,12 @@ def main():
     p.add_argument('--max_steps', type=int, default=None)
     p.add_argument('--steps_per_dispatch', type=int, default=8,
                    help='Training steps fused into one device dispatch '
-                        '(jitted scan); 1 disables fusion.')
+                        '(jitted scan); 1 disables fusion. The first fused '
+                        'dispatch is watchdog-verified and falls back to 1 '
+                        'if the device transport wedges.')
+    p.add_argument('--dispatch_timeout', type=float, default=900.0,
+                   help='Watchdog deadline (s) for blocking device fetches; '
+                        'must cover the remote compile of the fused step.')
     p.add_argument('--profile_steps', type=int, default=None,
                    help='Capture a jax.profiler trace of N steps starting at step 10.')
     p.add_argument('--temporary', '-t', action='store_true',
@@ -59,7 +64,8 @@ def main():
         log_interval_save=flags.log_interval_save,
         max_steps=flags.max_steps,
         profile_steps=flags.profile_steps,
-        steps_per_dispatch=flags.steps_per_dispatch)
+        steps_per_dispatch=flags.steps_per_dispatch,
+        dispatch_timeout_s=flags.dispatch_timeout)
 
     train_loop.train(
         flags.autoencoder_config_path, flags.probclass_config_path,
