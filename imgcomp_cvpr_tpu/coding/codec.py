@@ -45,9 +45,9 @@ VERSION = 5  # v4 + kernel-precision byte (pallas bf16-ring streams are only
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
 # auto-route instead of failing the CRC.
-IMPL_DIRECT, IMPL_CACHED, IMPL_RING, IMPL_PALLAS = 0, 1, 2, 3
+IMPL_DIRECT, IMPL_CACHED, IMPL_RING, IMPL_PALLAS, IMPL_PLANAR = 0, 1, 2, 3, 4
 IMPL_IDS = {'direct': IMPL_DIRECT, 'cached': IMPL_CACHED, 'ring': IMPL_RING,
-            'pallas': IMPL_PALLAS}
+            'pallas': IMPL_PALLAS, 'planar': IMPL_PLANAR}
 IMPL_NAMES = {v: k for k, v in IMPL_IDS.items()}
 
 
@@ -110,20 +110,30 @@ class LatentCodec:
         self.pc = pc
         self.pc_config = pc_config
         self.context_size = pc_lib.context_size(pc_config)
-        assert impl in ('auto', 'direct', 'cached', 'ring', 'pallas'), impl
+        assert impl in ('auto', 'direct', 'cached', 'ring', 'pallas',
+                        'planar'), impl
+        import jax
+        on_tpu = jax.default_backend() == 'tpu'
         if impl == 'auto':
-            # The Pallas monolith is the production path on TPU; the XLA ring
-            # scan is the fastest pure-XLA path (and the CPU-test default).
-            import jax
-            impl = 'pallas' if jax.default_backend() == 'tpu' else 'ring'
+            # K=3: the Pallas 3D monolith on TPU, the XLA ring scan on CPU.
+            # K!=3: the planar per-depth-plane Pallas codec on TPU (the
+            # reference's default config is K=5, ref pc_configs/base:3);
+            # 'direct' stays the CPU oracle.
+            if pc_config.kernel_size == 3:
+                impl = 'pallas' if on_tpu else 'ring'
+            else:
+                impl = 'planar' if on_tpu else 'direct'
         if impl in ('cached', 'ring', 'pallas') and pc_config.kernel_size != 3:
-            impl = 'direct'  # fast paths are specialized to K=3 geometry
+            impl = 'planar'  # K=3-specialized fast paths
+        if impl == 'planar' and pc_config.kernel_size == 3:
+            pass  # planar supports K=3 too (used for cross-checks)
         self.impl = impl
         # With a mesh, image batches shard over the data axis: the pallas
         # impl via shard_map (pallas_codec.py), the XLA impls via sharded
         # inputs + SPMD propagation through the vmapped scan.
         self.mesh = mesh
         self._pallas = None
+        self._planar = None
         self._siblings = {}
 
     def _pallas_coder(self):
@@ -131,6 +141,13 @@ class LatentCodec:
             from .pallas_codec import PallasCoder
             self._pallas = PallasCoder(self.pc, self.pc_config, mesh=self.mesh)
         return self._pallas
+
+    def _planar_coder(self):
+        if self._planar is None:
+            from .planar_codec import PlanarCoder
+            self._planar = PlanarCoder(self.pc, self.pc_config,
+                                       mesh=self.mesh)
+        return self._planar
 
     def _shard(self, batch_arr):
         """Device-put a batch-major array with the batch dim sharded."""
@@ -299,6 +316,9 @@ class LatentCodec:
         if self.impl == 'pallas':
             return ('pallas', self._pallas_coder().encode_batch_submit(
                 pc_params, symbols, centers))
+        if self.impl == 'planar':
+            return ('planar', self._planar_coder().encode_batch_submit(
+                pc_params, symbols, centers))
         symbols = np.asarray(symbols)
         b = symbols.shape[0]
         latent_shape = tuple(symbols.shape[1:])
@@ -321,6 +341,8 @@ class LatentCodec:
             return self.encode_batch_finish(handle[2])[:handle[1]]
         if isinstance(handle, tuple) and handle and handle[0] == 'pallas':
             return self._pallas_coder().encode_batch_finish(handle[1])
+        if isinstance(handle, tuple) and handle and handle[0] == 'planar':
+            return self._planar_coder().encode_batch_finish(handle[1])
         latent_shape, symbols, buf, n_words, states, theo = handle
         b = symbols.shape[0]
         # one blocking transfer for all the small outputs
@@ -370,6 +392,9 @@ class LatentCodec:
         if self.impl == 'pallas':
             return ('pallas', self._pallas_coder().decode_batch_submit(
                 pc_params, bitstreams, centers))
+        if self.impl == 'planar':
+            return ('planar', self._planar_coder().decode_batch_submit(
+                pc_params, bitstreams, centers))
         parsed = [deserialize_stream(bs) for bs in bitstreams]
         latent_shape = parsed[0][0]
         assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
@@ -404,6 +429,9 @@ class LatentCodec:
                     handle[2], verify=verify, device_out=device_out)
             if handle[0] == 'pallas':
                 return self._pallas_coder().decode_batch_finish(
+                    handle[1], verify=verify, device_out=device_out)
+            if handle[0] == 'planar':
+                return self._planar_coder().decode_batch_finish(
                     handle[1], verify=verify, device_out=device_out)
         latent_shape, parsed, packed_syms = handle
         b = len(parsed)

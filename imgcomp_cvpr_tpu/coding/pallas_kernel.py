@@ -85,6 +85,21 @@ _ABLATE = 'full'
 _ABLATE_REV = 'full'
 
 
+def _rans_impl() -> str:
+    """Lane-routing implementation for the in-kernel rANS word moves:
+    'matmul' (default: one-hot MXU matvecs) or 'vpu' (log-shift routing
+    networks — carried-shift compaction/expansion, no MXU on the chain).
+    Streams are bitwise identical between the two (verified on the v5e).
+    MEASURED NEGATIVE RESULT (round 3): 'vpu' is ~3x slower (dec 33 vs 10
+    us/step/img at bsub=2) — a chain of ~30 dependent pltpu.roll lane
+    rotations costs far more than 5 small pipelined MXU one-hots; kept for
+    reproducibility and for hardware where lane rolls are cheap. Read at
+    kernel trace time, so flipping the env var requires cache_clear like
+    _ABLATE."""
+    import os
+    return os.environ.get('IMGCOMP_PALLAS_RANS', 'matmul')
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -399,6 +414,90 @@ def _scatter_words(word, pos, valid):
     return r0, r1, m0, m1
 
 
+# -- VPU lane-routing networks (no MXU on the sequential rANS chain) --------
+#
+# The rANS renorm moves <= R words per sub-iteration between the dense
+# stream and sparse lanes. The round-2 kernel did this with one-hot MXU
+# matvecs — several dependent MXU issues on the serial state chain. These
+# helpers do the same routing with log2(R) conditional lane-rolls (VPU):
+# a carried-shift staged-shift network, collision-free for the monotone
+# shifts a prefix-ranked compaction/expansion produces. All constructions
+# are numpy-property-tested in tests/test_rans_routing.py; streams are
+# bitwise identical to the matmul path.
+
+_LOG_R = R.bit_length() - 1
+
+
+def _lane_within(n):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return jax.lax.rem(lane, jnp.int32(R))
+
+
+def _prefix_excl_vpu(ni, roll1):
+    """Exclusive prefix sum of (1, n) i32 within independent R-lane blocks
+    via Hillis-Steele log-step rolls (boundary-masked)."""
+    lw = _lane_within(ni.shape[1])
+    x = ni
+    sh = 1
+    while sh < R:
+        x = x + jnp.where(lw >= sh, roll1(x, sh), 0)
+        sh *= 2
+    return x - ni
+
+
+def _expand_words_vpu(win, need_i, rank, roll1):
+    """Monotone expand per R-lane block: lane r (need) receives
+    win[block, rank_r]. Implemented as the INVERSE of the carried-shift
+    compaction network — simulate the compaction of the need pattern to get
+    the per-stage take masks, then apply the inverted stages to the dense
+    window MSB-first."""
+    lw = _lane_within(win.shape[1])
+    s = jnp.where(need_i != 0, lw - rank, 0)
+    takes = []
+    for b in range(_LOG_R):
+        sh = 1 << b
+        ss = roll1(s, -sh)
+        take = jnp.where(lw < R - sh, (ss >> b) & 1, 0)
+        takes.append(take)
+        s = jnp.where(take != 0, ss - sh, s)
+        dep = jnp.where(lw >= sh, roll1(take, sh), 0)
+        s = jnp.where((dep != 0) & (take == 0), 0, s)
+    w = win
+    for b in range(_LOG_R - 1, -1, -1):
+        sh = 1 << b
+        m = jnp.where(lw >= sh, roll1(takes[b], sh), 0)
+        w = jnp.where(m != 0, roll1(w, sh), w)
+    return w
+
+
+def _compact_vpu(word, emit_i, fwd, roll1):
+    """Monotone compaction per R-lane block: the j-th emitting lane's word
+    lands at block lane j (ascending). Carried-shift staged shifts,
+    LSB-first — collision-free for the nondecreasing shifts of a ranked
+    compaction."""
+    lw = _lane_within(word.shape[1])
+    s = jnp.where(emit_i != 0, lw - fwd, 0)
+    x = word
+    for b in range(_LOG_R):
+        sh = 1 << b
+        ss = roll1(s, -sh)
+        take = jnp.where(lw < R - sh, (ss >> b) & 1, 0)
+        x = jnp.where(take != 0, roll1(x, -sh), x)
+        s = jnp.where(take != 0, ss - sh, s)
+    return x
+
+
+def _block_reverse_vpu(x, roll1):
+    """Reverse lanes within each R-lane block (r -> r XOR (R-1)): one
+    static two-roll select per bit."""
+    lw = _lane_within(x.shape[1])
+    for b in range(_LOG_R):
+        sh = 1 << b
+        bit = (lw >> b) & 1
+        x = jnp.where(bit != 0, roll1(x, sh), roll1(x, -sh))
+    return x
+
+
 def _quantize_cdf_kernel(logits, L):
     """In-kernel twin of rans.quantize_cdf on (L, P) sublane-major tables:
     logits (L, P) f32 -> (freq, cdf_low) (L, P) i32 with column sums SCALE."""
@@ -475,6 +574,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     KS = 1 if interpret else K_STEPS
 
     ablate = _ABLATE
+    rans_impl = _rans_impl()
     if interpret:
         def _roll(x, s, total=None):
             return jnp.roll(x, s, 1)
@@ -665,24 +765,47 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 if ablate != 'norans':
                     need = a & (x < jnp.uint32(rans.RANS_L))
                     ni = need.astype(jnp.int32)
-                    rank = _excl_rank(ni, bsub)
-                    wparts = []
-                    for i in range(bsub):
-                        gp = gptr_s[i]
-                        grow = jnp.minimum(gp // 128, wrows - 2)
-                        goff = gp - grow * 128
-                        rbase = i * wrows
-                        row0 = stream_ref[0, pl.ds(rbase + grow, 1),
-                                          :].astype(jnp.int32)
-                        row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
-                                          :].astype(jnp.int32)
-                        ni_i = ni[:, i * R:(i + 1) * R]
-                        pos = jnp.where(need[:, i * R:(i + 1) * R],
-                                        goff + rank[:, i * R:(i + 1) * R], -1)
-                        wparts.append(_gather_words(row0, row1, pos))
-                        gptr_s[i] = gp + jnp.sum(ni_i)
-                    wsel = (wparts[0] if bsub == 1
-                            else jnp.concatenate(wparts, axis=1))
+                    if rans_impl == 'vpu':
+                        # VPU routing: align the next-2-rows window per
+                        # image (one dynamic roll), then log-shift expand —
+                        # no MXU issues on the sequential state chain.
+                        rank = _prefix_excl_vpu(ni, _roll)
+                        wins = []
+                        for i in range(bsub):
+                            gp = gptr_s[i]
+                            grow = jnp.minimum(gp // 128, wrows - 2)
+                            goff = gp - grow * 128
+                            rbase = i * wrows
+                            row0 = stream_ref[0, pl.ds(rbase + grow, 1),
+                                              :].astype(jnp.int32)
+                            row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
+                                              :].astype(jnp.int32)
+                            cat = jnp.concatenate([row0, row1], axis=1)
+                            wins.append(_roll(cat, -goff)[:, 0:R])
+                            gptr_s[i] = gp + jnp.sum(ni[:, i * R:(i + 1) * R])
+                        win = (wins[0] if bsub == 1
+                               else jnp.concatenate(wins, axis=1))
+                        wsel = _expand_words_vpu(win, ni, rank, _roll)
+                    else:
+                        rank = _excl_rank(ni, bsub)
+                        wparts = []
+                        for i in range(bsub):
+                            gp = gptr_s[i]
+                            grow = jnp.minimum(gp // 128, wrows - 2)
+                            goff = gp - grow * 128
+                            rbase = i * wrows
+                            row0 = stream_ref[0, pl.ds(rbase + grow, 1),
+                                              :].astype(jnp.int32)
+                            row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
+                                              :].astype(jnp.int32)
+                            ni_i = ni[:, i * R:(i + 1) * R]
+                            pos = jnp.where(need[:, i * R:(i + 1) * R],
+                                            goff + rank[:, i * R:(i + 1) * R],
+                                            -1)
+                            wparts.append(_gather_words(row0, row1, pos))
+                            gptr_s[i] = gp + jnp.sum(ni_i)
+                        wsel = (wparts[0] if bsub == 1
+                                else jnp.concatenate(wparts, axis=1))
                     x = jnp.where(need,
                                   (x << rans.WORD_BITS)
                                   | wsel.astype(jnp.uint32), x)
@@ -851,6 +974,14 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
     BR = bsub * R
     KS = 1 if interpret else K_STEPS   # see make_forward
     ablate = _ABLATE_REV
+    rans_impl = _rans_impl()
+    if interpret:
+        def _roll(x, s):
+            return jnp.roll(x, s, 1)
+    else:
+        def _roll(x, s):
+            return pltpu.roll(x, jnp.asarray(s, jnp.int32)
+                              + jnp.int32(x.shape[1]), 1)
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
                words_out, nw_out, st_out, states_s, gw_s):
@@ -889,10 +1020,42 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                 emit = a & (st >= (f << rans.WORD_BITS))
                 word = (st & jnp.uint32(rans.WORD_MASK)).astype(jnp.int32)
                 ei = emit.astype(jnp.int32)
-                fwd = _excl_rank(ei, bsub)
                 # Emission order: descending lane rank per image, so the
                 # final per-image reversal restores decode-read order.
-                if ablate != 'noscatter':
+                if ablate == 'noscatter':
+                    for i in range(bsub):
+                        gw_s[i] = gw_s[i] + jnp.sum(ei[:, i * R:(i + 1) * R])
+                elif rans_impl == 'vpu':
+                    # Log-shift compaction + block reversal (VPU), then one
+                    # dynamic roll places the dense run at the write offset.
+                    fwd = _prefix_excl_vpu(ei, _roll)
+                    dense = _compact_vpu(word, ei, fwd, _roll)
+                    rev = _block_reverse_vpu(dense, _roll)
+                    i256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+                    for i in range(bsub):
+                        total_i = jnp.sum(ei[:, i * R:(i + 1) * R])
+                        gw = gw_s[i]
+                        grow = jnp.minimum(gw // 128, wrows - 2)
+                        goff = gw - grow * 128
+                        blk = rev[:, i * R:(i + 1) * R]
+                        pad256 = jnp.concatenate(
+                            [blk, jnp.zeros((1, 256 - R), jnp.int32)], axis=1)
+                        place = _roll(pad256, goff + total_i - R)
+                        m256 = (i256 >= goff) & (i256 < goff + total_i)
+                        rbase = i * wrows
+                        old0 = words_out[0, pl.ds(rbase + grow, 1),
+                                         :].astype(jnp.int32)
+                        old1 = words_out[0, pl.ds(rbase + grow + 1, 1),
+                                         :].astype(jnp.int32)
+                        words_out[0, pl.ds(rbase + grow, 1), :] = jnp.where(
+                            m256[:, 0:128], place[:, 0:128],
+                            old0).astype(jnp.uint32)
+                        words_out[0, pl.ds(rbase + grow + 1, 1), :] = \
+                            jnp.where(m256[:, 128:256], place[:, 128:256],
+                                      old1).astype(jnp.uint32)
+                        gw_s[i] = gw + total_i
+                else:
+                    fwd = _excl_rank(ei, bsub)
                     for i in range(bsub):
                         sl = slice(i * R, (i + 1) * R)
                         ei_i = ei[:, sl]
@@ -914,9 +1077,6 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                         words_out[0, pl.ds(rbase + grow + 1, 1), :] = \
                             jnp.where(m1, r1n, old1).astype(jnp.uint32)
                         gw_s[i] = gw + total_i
-                else:
-                    for i in range(bsub):
-                        gw_s[i] = gw_s[i] + jnp.sum(ei[:, i * R:(i + 1) * R])
                 st = jnp.where(emit, st >> rans.WORD_BITS, st)
                 if ablate == 'nodiv':
                     xn = ((st >> 4) << rans.SCALE_BITS) + (st & 15) + sv

@@ -1,0 +1,449 @@
+"""Driver for the planar (per-depth-plane) Pallas codec — the fast path
+for kernel_size != 3 (coding/planar.py documents the design).
+
+External contract matches pallas_codec.PallasCoder: encode is
+teacher-forced through the SAME executable decode uses, the reverse
+interleaved-rANS runs on device, streams self-route via the container
+impl id. The full C-plane pipeline (XLA bias convs + skew packing + the
+per-plane pallas kernel, lax.scan over depth) is ONE jitted function
+shared verbatim by both directions — the bias convs run in XLA outside
+the pallas kernel, so sharing one executable (traced mode flag) is what
+guarantees the float logits -> integer CDF mapping is identical at
+encode and decode (two separately-jitted copies could legally fuse the
+convs differently).
+
+Replaces the reference's per-symbol sess.run + Python coder for its
+DEFAULT K=5 configuration (ref pc_configs/base:3, bit_counter.py:103-163;
+round 2 left K!=5 on a 0.018 MP/s 'direct' fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import probclass as pc_lib
+from . import planar
+from . import planar_kernel as plk
+from . import rans
+
+R = planar.R
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+class PlanarCoder:
+    """Entropy codec for one (pc_config, num_centers) context model with
+    kernel_size != 3 (any K the causal-mask geometry admits; the
+    reference's default K=5 is the target). Requires the latent band to
+    fit one rANS chunk: ceil(W/(4*(K//2)+1)) <= 32 — true for Kodak-scale
+    latents in either orientation."""
+
+    def __init__(self, pc: pc_lib.ProbClassifier, pc_config, mesh=None):
+        self.pc = pc
+        self.pc_config = pc_config
+        self.K = pc_config.kernel_size
+        self.kf = pc_config.arch_param__k
+        self.L = pc.num_centers
+        self.mesh = mesh
+
+    def _shard_wrap(self, fn, n_rep, n_batch, n_out):
+        """jit fn; with a mesh, shard_map it with the first n_rep args
+        replicated and the next n_batch args batch-sharded (dim 0)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+        from ..parallel import mesh as mesh_lib
+        d = P(mesh_lib.DATA_AXIS)
+        in_specs = (P(),) * n_rep + (d,) * n_batch
+        return jax.jit(jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(d,) * n_out if n_out > 1 else d,
+            check_vma=False))
+
+    @staticmethod
+    def _pick_bsub(bl: int) -> int:
+        import os
+        forced = os.environ.get('IMGCOMP_PLANAR_BSUB')
+        if forced:
+            return int(forced)
+        return 2 if bl % 2 == 0 else 1
+
+    # -- layouts --------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _layouts(self, latent_shape, bsub):
+        sched = planar.build_planar_schedule(latent_shape, self.K)
+        C, H, W = latent_shape
+        kd, reach, BH, CTR = planar.geometry(self.K)
+        LSEG = max(sched.HL)
+        W_ALL = bsub * LSEG
+        BR = bsub * R
+        CQB = _round_up(BR, 128)
+        T2_pad = sched.T2_pad
+
+        # Chunk mask / q-row plane mask, tiled per image segment.
+        acm = np.zeros((T2_pad, 1, CQB), np.int32)
+        for i in range(bsub):
+            acm[:, :, i * R:(i + 1) * R] = sched.active_cm
+        t_arr = np.arange(T2_pad)
+        h0 = np.arange(LSEG)
+        w0 = t_arr[:, None] - BH * h0[None, :]
+        ap1 = ((h0[None, :] >= reach) & (h0[None, :] < reach + H)
+               & (w0 >= reach) & (w0 < reach + W)).astype(np.int32)
+        actp = np.zeros((T2_pad, 1, W_ALL), np.int32)
+        for i in range(bsub):
+            actp[:, 0, i * LSEG:(i + 1) * LSEG] = ap1
+
+        # Teacher pack / symbol unpack (plane-local, group chunk-major).
+        HW = H * W
+        idx = np.full((T2_pad, CQB), bsub * HW, np.int64)
+        for i in range(bsub):
+            src = sched.idx_cm.astype(np.int64)          # (T2_pad, R)
+            idx[:, i * R:(i + 1) * R] = np.where(src < HW, src + i * HW,
+                                                 bsub * HW)
+        idx_flat = jnp.asarray(idx.reshape(-1).astype(np.int32))
+        flat_np = idx.reshape(-1)
+        inv_np = np.zeros(bsub * HW, np.int32)
+        valid_np = flat_np < bsub * HW
+        inv_np[flat_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+        inv_idx = jnp.asarray(inv_np)
+
+        # Reverse-kernel tables over the flat (plane, step) sequence.
+        full_table = jnp.asarray(np.tile(sched.table[:, :, :2], (C, 1, 1)))
+        full_acm = jnp.asarray(np.tile(acm, (C, 1, 1)))
+
+        tables = (jnp.asarray(sched.table), jnp.asarray(actp),
+                  jnp.asarray(acm))
+        from . import codec as codec_lib
+        wts_img = jnp.asarray(codec_lib.crc_weights(HW * C))
+        return (sched, tables, idx_flat, inv_idx, full_table, full_acm,
+                wts_img, LSEG, W_ALL, BR, CQB)
+
+    # -- compiled pieces ------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _run_fns(self, latent_shape, b):
+        interp = _use_interpret()
+        ndev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        assert b % ndev == 0, (b, ndev)
+        bl = b // ndev
+        bsub = self._pick_bsub(bl)
+        assert bl % bsub == 0, (bl, bsub)
+        b_out = bl // bsub
+        (sched, tables, idx_flat, inv_idx, full_table, full_acm, wts_img,
+         LSEG, W_ALL, BR, CQB) = self._layouts(latent_shape, bsub)
+        C, H, W = latent_shape
+        kd, reach, BH, CTR = planar.geometry(self.K)
+        K, kf, L = self.K, self.kf, self.L
+        grids = sched.grids
+        T2_pad = sched.T2_pad
+        wrows = plk.plane_stream_rows(sched, bsub)
+        HW = H * W
+        pc = self.pc
+        pc_config = self.pc_config
+        taps = sched.taps
+        Q_CH = plk.Q_CH
+
+        fwd, _ = plk.make_plane_forward(latent_shape, K, kf, L, b_out,
+                                        bsub=bsub, interpret=interp)
+        rev, _ = plk.make_plane_reverse(latent_shape, K, b_out, bsub=bsub,
+                                        interpret=interp)
+
+        def fold_weights(pc_params):
+            params = pc_params['params']
+            names = [('conv0',), ('res1', 'conv1'), ('res1', 'conv2'),
+                     ('conv_out',)]
+            tops, lows, bs = [], [], []
+            for li, name in enumerate(names):
+                node = params
+                for n in name:
+                    node = node[n]
+                w = node['w']                      # (kd, K, K, cin, cout)
+                tp = taps[li]
+                top = jnp.stack([w[kd - 1, dy, dx] for dy, dx in tp],
+                                axis=0)            # (taps, cin, cout)
+                tops.append(top)
+                lows.append(w[:kd - 1])
+                bs.append(node['b'])
+            t1 = len(taps[0])
+            # layer 1: the single input channel expands to Q_CH sublanes
+            # (only sublane 0 of each tap group carries weight).
+            w1 = jnp.zeros((t1, Q_CH, kf), jnp.float32).at[:, 0, :].set(
+                tops[0][:, 0, :]).reshape(t1 * Q_CH, kf)
+            w2 = tops[1].reshape(len(taps[1]) * kf, kf)
+            w3 = tops[2].reshape(len(taps[2]) * kf, kf)
+            w4 = tops[3].reshape(len(taps[3]) * kf, L)
+            return (w1, w2, w3, w4), lows, bs
+
+        def conv_lower(planes, w_low):
+            """planes: (kd-1, bl, Hg, Wg, cin), oldest first;
+            w_low: (kd-1, K, K, cin, cout) -> (bl, Hg-K+1, Wg-K+1, cout)."""
+            out = None
+            for j in range(kd - 1):
+                y = jax.lax.conv_general_dilated(
+                    planes[j], w_low[j], (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                out = y if out is None else out + y
+            return out
+
+        def skew_bias(bias_nhwc, li):
+            """(bl, Hg, Wg, ch) -> (b_out, T2_pad, ch, W_ALL) banded rows,
+            pre-shifted by CTR*li so the kernel indexes them by step t."""
+            x = jnp.transpose(bias_nhwc, (0, 3, 1, 2))   # (bl, ch, Hg, Wg)
+            rows = jax.vmap(
+                lambda p: planar.skew_rows(p, BH, T2_pad, LSEG))(x)
+            sh = CTR * li
+            if sh:
+                rows = jnp.concatenate(
+                    [jnp.zeros((rows.shape[0], sh) + rows.shape[2:],
+                               rows.dtype), rows[:, :T2_pad - sh]], axis=1)
+            ch = rows.shape[2]
+            rows = rows.reshape(b_out, bsub, T2_pad, ch, LSEG)
+            rows = jnp.transpose(rows, (0, 2, 3, 1, 4))
+            return rows.reshape(b_out, T2_pad, ch, bsub * LSEG)
+
+        def unskew_act(rows_out, li, grid_hw):
+            """(b_out, T2_pad, kf, W_ALL) kernel rows -> (bl, Hg, Wg, kf)."""
+            sh = CTR * li
+            r = rows_out[:, sh:]
+            r = r.reshape(b_out, -1, kf, bsub, LSEG)
+            r = jnp.transpose(r, (0, 3, 1, 2, 4))
+            r = r.reshape(b_out * bsub, -1, kf, LSEG)
+            planes = jax.vmap(
+                lambda rr: planar.unskew_rows(rr, BH, grid_hw))(r)
+            return jnp.transpose(planes, (0, 2, 3, 1))   # (bl, Hg, Wg, kf)
+
+        def run(pc_params, centers, mode, symbols_flat, streams, states0):
+            """THE shared executable: teacher-forced encode (mode 1) and
+            decode (mode 0) trace through this one jit. symbols_flat
+            (bl, n) is the teacher input (dummy zeros at decode); streams
+            (b_out, bsub*wrows, 128) is the coded stream (dummy zeros at
+            encode); states0 (b_out, 1, BR) the initial rANS states.
+            Returns (syms, fsel, ssel) each (b_out, C*T2_pad, 1, CQB) in
+            coding order."""
+            (w1, w2, w3, w4), lows, bs = fold_weights(pc_params)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
+            pad_v = jnp.full((1,), pad_value, jnp.float32)
+            from .ring import _pad_constants
+            k1, k2, k3 = _pad_constants(pc, pc_params, pad_value)
+            weights = (pad_v, w1, w2, w3, w4, centers[:, None])
+
+            sy = symbols_flat.reshape(b_out, bsub, C, HW).astype(jnp.int32)
+            sy = jnp.transpose(sy, (2, 0, 1, 3)).reshape(C, b_out, bsub * HW)
+            padded = jnp.concatenate(
+                [sy, jnp.zeros((C, b_out, 1), jnp.int32)], axis=2)
+            true_planes = jnp.take(padded, idx_flat, axis=2).reshape(
+                C, b_out, T2_pad, 1, CQB)
+
+            def bc(v, grid_hw, ch):
+                return jnp.broadcast_to(
+                    v, (kd - 1, bl) + grid_hw + (ch,)) + 0.0
+
+            q_hist = jnp.full((kd - 1, bl) + grids[0] + (1,), pad_value,
+                              jnp.float32)
+            a1_hist = bc(k1, grids[1], kf)
+            a2_hist = bc(k2, grids[2], kf)
+            a3_hist = bc(k3, grids[3], kf)
+            gptr0 = jnp.zeros((b_out, 1, bsub), jnp.int32)
+
+            def body(carry, true_plane):
+                q_hist, a1_hist, a2_hist, a3_hist, states, gptr = carry
+                bias_rows = (
+                    skew_bias(conv_lower(q_hist, lows[0]) + bs[0], 1),
+                    skew_bias(conv_lower(a1_hist, lows[1]) + bs[1], 2),
+                    skew_bias(conv_lower(a2_hist, lows[2]) + bs[2], 3),
+                    skew_bias(conv_lower(a3_hist, lows[3]) + bs[3], 4))
+                (syms, fsel, ssel, a1r, a2r, a3r, states, gptr) = fwd(
+                    weights, tables, bias_rows, true_plane, streams,
+                    states, gptr, mode)
+                # Rebuild planes for the next plane's bias convs.
+                sym_flat = jnp.take(
+                    syms.reshape(b_out, T2_pad * CQB), inv_idx,
+                    axis=1).reshape(bl, H, W)
+                qp = jnp.take(centers, jnp.clip(sym_flat, 0, L - 1))
+                q_plane = jnp.full((bl,) + grids[0], pad_value, jnp.float32)
+                q_plane = q_plane.at[:, reach:reach + H,
+                                     reach:reach + W].set(qp)[..., None]
+                carry = (
+                    jnp.concatenate([q_hist[1:], q_plane[None]], axis=0),
+                    jnp.concatenate([a1_hist[1:],
+                                     unskew_act(a1r, 1, grids[1])[None]], 0),
+                    jnp.concatenate([a2_hist[1:],
+                                     unskew_act(a2r, 2, grids[2])[None]], 0),
+                    jnp.concatenate([a3_hist[1:],
+                                     unskew_act(a3r, 3, grids[3])[None]], 0),
+                    states, gptr)
+                return carry, (syms, fsel, ssel)
+
+            _, (syms_all, fsel_all, ssel_all) = jax.lax.scan(
+                body, (q_hist, a1_hist, a2_hist, a3_hist, states0, gptr0),
+                true_planes)
+
+            def co(x):   # (C, b_out, T2_pad, 1, CQB) -> coding order
+                return jnp.transpose(x, (1, 0, 2, 3, 4)).reshape(
+                    b_out, C * T2_pad, 1, CQB)
+
+            return co(syms_all), co(fsel_all), co(ssel_all)
+
+        acm_flat = full_acm.reshape(1, C * T2_pad, CQB)
+
+        def rev_and_theo(fsel, ssel):
+            words, n_words, st = rev(full_table, full_acm, fsel, ssel)
+            f = jnp.maximum(fsel[:, :, 0, 0:BR].astype(jnp.float32), 1.0)
+            bits = jnp.where(acm_flat[:, :, 0:BR] != 0,
+                             -jnp.log2(f / rans.SCALE), 0.0)
+            theo = jnp.sum(bits.reshape(b_out, C * T2_pad, bsub, R),
+                           axis=(1, 3)).reshape(b_out * bsub)
+            return words, n_words, st, theo
+
+        def crc_of(symbols_flat):
+            from . import codec as codec_lib
+            return codec_lib.symbol_crc_device(
+                symbols_flat.reshape(bl, -1).astype(jnp.uint32), wts_img)
+
+        def unpack(syms_co):
+            flat = syms_co.reshape(b_out, C, T2_pad * CQB)
+            vols = jnp.take(flat, inv_idx, axis=2)      # (b_out, C, bsub*HW)
+            vols = vols.reshape(b_out, C, bsub, HW)
+            out = jnp.transpose(vols, (0, 2, 1, 3)).reshape(bl, C * HW)
+            return out.astype(jnp.int8), crc_of(out)
+
+        run_dev = self._shard_wrap(run, n_rep=3, n_batch=3, n_out=3)
+        rev_dev = self._shard_wrap(rev_and_theo, n_rep=0, n_batch=2,
+                                   n_out=4)
+        crc_dev = self._shard_wrap(crc_of, n_rep=0, n_batch=1, n_out=1)
+        unpack_dev = self._shard_wrap(unpack, n_rep=0, n_batch=1, n_out=2)
+        return _Fns(run_dev, rev_dev, crc_dev, unpack_dev, sched, bsub,
+                    b_out, wrows, BR)
+
+    # -- public API (mirrors PallasCoder) -------------------------------------
+
+    def encode_batch_submit(self, pc_params, symbols, centers):
+        host_symbols = None
+        if not isinstance(symbols, jax.Array):
+            host_symbols = np.asarray(symbols)
+            symbols = jnp.asarray(host_symbols)
+        b = symbols.shape[0]
+        latent_shape = tuple(int(d) for d in symbols.shape[1:])
+        ks = self._run_fns(latent_shape, b)
+        bsub, b_out, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
+        centers_j = jnp.asarray(centers)
+        streams0 = jnp.zeros((b // bsub, bsub * wrows, 128), jnp.uint32)
+        states0 = jnp.full((b // bsub, 1, BR), rans.RANS_L, jnp.uint32)
+        syms_flat = symbols.reshape(b, -1)
+        _, fsel, ssel = ks.run_dev(pc_params, centers_j,
+                                   jnp.ones((1,), jnp.int32), syms_flat,
+                                   streams0, states0)
+        words, n_words, states, theo = ks.rev_dev(fsel, ssel)
+        crcs = ks.crc_dev(syms_flat)
+        return (latent_shape, host_symbols, b, words, n_words, states, theo,
+                crcs, ks)
+
+    def encode_batch_finish(self, handle):
+        from . import codec as codec_lib
+        (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
+         ks) = handle
+        bsub, wrows = ks.bsub, ks.wrows
+        theo, n_words, states, crcs = jax.device_get(
+            (theo, n_words, states, crcs))
+        crcs = np.asarray(crcs).reshape(b)
+        n_words = np.asarray(n_words).reshape(b)
+        states = np.asarray(states).reshape(b, R)
+        cap = wrows * 128
+        if n_words.size and int(n_words.max()) > cap:
+            raise ValueError(
+                f'planar stream exceeded the word cap ({cap})')
+        wmax = int(n_words.max()) if n_words.size else 0
+        rneed = min(wrows, max(1, -(-wmax // 128) + 1))
+        row_idx = np.concatenate(
+            [np.arange(i * wrows, i * wrows + rneed) for i in range(bsub)])
+        sel = jnp.take(words, jnp.asarray(row_idx), axis=1).astype(jnp.uint16)
+        host_words = np.asarray(jax.device_get(sel)).reshape(
+            b, rneed * 128).astype(np.uint32)
+        results = []
+        for i in range(b):
+            stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
+            bitstream = codec_lib.serialize_stream(
+                latent_shape, stream, states[i], int(crcs[i]),
+                impl_id=codec_lib.IMPL_PLANAR, prec=0)
+            results.append(codec_lib.EncodeResult(
+                bitstream=bitstream, num_bits=len(bitstream) * 8,
+                theoretical_bits=float(theo[i]),
+                symbols=None if host_symbols is None else host_symbols[i]))
+        return tuple(results)
+
+    def encode_batch(self, pc_params, symbols, centers):
+        return self.encode_batch_finish(
+            self.encode_batch_submit(pc_params, symbols, centers))
+
+    def decode_batch_submit(self, pc_params, bitstreams, centers):
+        from . import codec as codec_lib
+        parsed = [codec_lib.deserialize_stream(bs) for bs in bitstreams]
+        latent_shape = parsed[0][0]
+        assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
+        b = len(parsed)
+        ks = self._run_fns(latent_shape, b)
+        bsub, b_out_g, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
+        n = int(np.prod(latent_shape))
+        packed = np.zeros((b // bsub, bsub * wrows, 128), np.uint32)
+        states = np.zeros((b // bsub, 1, bsub, R), np.uint32)
+        for i, (_, stream_words, st, _crc) in enumerate(parsed):
+            assert len(st) == R, (len(st), R)
+            g, j = divmod(i, bsub)
+            states[g, 0, j, :] = st
+            rows = packed[g, j * wrows:(j + 1) * wrows].reshape(-1)
+            rows[:len(stream_words)] = stream_words
+        dummy_syms = jnp.zeros((b, n), jnp.int8)
+        syms_co, _, _ = ks.run_dev(
+            pc_params, jnp.asarray(centers), jnp.zeros((1,), jnp.int32),
+            dummy_syms, jnp.asarray(packed),
+            jnp.asarray(states.reshape(b // bsub, 1, bsub * R)))
+        out, crcs = ks.unpack_dev(syms_co)
+        return (latent_shape, parsed, out, crcs)
+
+    def decode_batch_finish(self, handle, verify: bool = True,
+                            device_out: bool = False):
+        latent_shape, parsed, packed_syms, crcs = handle
+        b = len(parsed)
+        if verify:
+            crcs_h = np.asarray(jax.device_get(crcs)).reshape(b)
+            for i in range(b):
+                if int(crcs_h[i]) != parsed[i][3]:
+                    raise ValueError(
+                        f'decode CRC mismatch for image {i}: corrupt '
+                        'stream, or decode ran with a different executable '
+                        'than encode')
+        if device_out:
+            return packed_syms.reshape((b,) + latent_shape)
+        out = np.asarray(jax.device_get(packed_syms), np.int32)
+        return out.reshape((b,) + latent_shape)
+
+    def decode_batch(self, pc_params, bitstreams, centers, verify=True,
+                     device_out=False):
+        return self.decode_batch_finish(
+            self.decode_batch_submit(pc_params, bitstreams, centers),
+            verify=verify, device_out=device_out)
+
+
+class _Fns:
+    def __init__(self, run_dev, rev_dev, crc_dev, unpack_dev, sched, bsub,
+                 b_out, wrows, BR):
+        self.run_dev = run_dev
+        self.rev_dev = rev_dev
+        self.crc_dev = crc_dev
+        self.unpack_dev = unpack_dev
+        self.sched = sched
+        self.bsub = bsub
+        self.b_out = b_out
+        self.wrows = wrows
+        self.BR = BR

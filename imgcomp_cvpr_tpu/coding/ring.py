@@ -138,8 +138,14 @@ def build_ring_schedule(latent_shape: Tuple[int, int, int],
 
 
 def _pad_constants(pc, pc_params, pad_value):
-    """(ch,) constant activation of each layer over an all-pad volume."""
-    patch = jnp.full((1, 5, 11, 11), pad_value, jnp.float32)
+    """(ch,) constant activation of each layer over an all-pad volume
+    (a VALID conv of a constant volume is constant). Patch is sized to
+    the network's receptive field for any kernel_size."""
+    K = pc.config.kernel_size
+    kd = K // 2 + 1
+    d = 4 * (kd - 1) + 1
+    s = 4 * (K - 1) + 1 + 2
+    patch = jnp.full((1, d, s, s), pad_value, jnp.float32)
     acts = pc.net.apply(pc_params, patch, return_activations=True)
     return (acts['l1'][0, 0, 0, 0], acts['l2'][0, 0, 0, 0],
             acts['l3'][0, 0, 0, 0])

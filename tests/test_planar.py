@@ -1,0 +1,113 @@
+"""Planar (per-depth-plane) codec — the kernel_size != 3 fast path
+(VERDICT r2 #2). Interpret-mode kernels on CPU; tiny shapes.
+
+Oracles (SURVEY §4): bit-exact symbol round-trip through the real coder;
+theoretical bits == parallel-logits loss bits (the wavefront must compute
+the SAME conditional distributions as the bulk pass); container
+self-routing; stream invariance across batch size / bsub."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imgcomp_cvpr_tpu.coding import codec as codec_lib
+from imgcomp_cvpr_tpu.coding import planar
+from imgcomp_cvpr_tpu.models import probclass as pc_lib
+from imgcomp_cvpr_tpu.utils import config as config_lib
+
+SHAPE = (4, 8, 8)
+L = 6
+
+
+def _setup(K):
+    pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    pc_config = pc_config.replace(kernel_size=K, arch_param__k=8)
+    pc = pc_lib.ProbClassifier(pc_config, L)
+    rng = np.random.RandomState(0)
+    pc_params = pc.init(jax.random.PRNGKey(1),
+                        (1, SHAPE[1], SHAPE[2], SHAPE[0]))
+    centers = np.linspace(-2, 2, L).astype(np.float32)
+    syms = rng.randint(0, L, size=(2,) + SHAPE).astype(np.int8)
+    return pc, pc_config, pc_params, centers, syms
+
+
+def test_schedule_covers_every_cell_once():
+    for K in (3, 5):
+        for shape in [(4, 8, 8), (3, 5, 9), (2, 12, 6)]:
+            sched = planar.build_planar_schedule(shape, K)
+            # the builder asserts the (t, lane) -> cell map is a bijection
+            assert sched.n_band <= planar.R
+            assert sched.VR == sched.CTR + 1
+
+
+def test_skew_unskew_jnp_roundtrip():
+    rng = np.random.RandomState(3)
+    plane = jnp.asarray(rng.rand(4, 24, 24).astype(np.float32))
+    rows = planar.skew_rows(plane, 9, 260, 128)
+    back = planar.unskew_rows(rows, 9, (24, 24))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(plane))
+    # spot-check the banded semantics
+    r = np.asarray(rows)
+    p = np.asarray(plane)
+    for v in (0, 17, 100, 215):
+        for h in range(24):
+            w = v - 9 * h
+            if 0 <= w < 24:
+                np.testing.assert_array_equal(r[v, :, h], p[:, h, w])
+
+
+@pytest.mark.parametrize('K', [5, 3])
+def test_planar_roundtrip_and_entropy_consistency(K):
+    pc, pc_config, pc_params, centers, syms = _setup(K)
+    codec = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+    enc = codec.encode_batch(pc_params, syms, centers)
+    for r in enc:
+        assert codec_lib.stream_impl_id(r.bitstream) == codec_lib.IMPL_PLANAR
+    dec = codec.decode_batch(pc_params, [r.bitstream for r in enc], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+    # Theoretical bits must equal the parallel-logits cross entropy: the
+    # wavefront recomputes the same conditional distributions (up to the
+    # integer CDF quantization, ~1e-4 relative here).
+    q = jnp.take(jnp.asarray(centers), jnp.asarray(syms.astype(np.int32)))
+    q_nhwc = jnp.transpose(q, (0, 2, 3, 1))
+    s_nhwc = jnp.transpose(jnp.asarray(syms.astype(np.int32)), (0, 2, 3, 1))
+    bc = pc.bitcost(pc_params, q_nhwc, s_nhwc,
+                    pad_value=pc_lib.auto_pad_value(pc_config, centers,
+                                                    pc_params))
+    loss_bits = np.asarray(jnp.sum(bc, axis=(1, 2, 3)))
+    for r, lb in zip(enc, loss_bits):
+        assert abs(r.theoretical_bits - lb) / lb < 5e-3, \
+            (r.theoretical_bits, lb)
+    # real size within a few % of theory on these tiny streams
+    for r in enc:
+        assert r.num_bits >= r.theoretical_bits
+
+
+def test_planar_streams_batch_invariant_and_k3_matches_ring_theory():
+    pc, pc_config, pc_params, centers, syms = _setup(3)
+    cp = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+    cr = codec_lib.LatentCodec(pc, pc_config, impl='ring')
+    ep = cp.encode_batch(pc_params, syms, centers)           # bsub=2
+    e1 = cp.encode_batch(pc_params, syms[:1], centers)       # bsub=1
+    assert e1[0].bitstream == ep[0].bitstream
+    er = cr.encode_batch(pc_params, syms, centers)
+    for a, b in zip(ep, er):
+        assert abs(a.theoretical_bits - b.theoretical_bits) \
+            / b.theoretical_bits < 1e-3
+    # container self-routing: a ring-impl codec object decodes the planar
+    # streams via the header impl id
+    dec = cr.decode_batch(pc_params, [r.bitstream for r in ep], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_auto_impl_routes_k5():
+    pc, pc_config, pc_params, centers, syms = _setup(5)
+    codec = codec_lib.LatentCodec(pc, pc_config, impl='auto')
+    # CPU auto keeps the 'direct' oracle; explicitly-requested K=3 fast
+    # paths route to planar for K!=3
+    assert codec.impl == ('planar' if jax.default_backend() == 'tpu'
+                          else 'direct')
+    c2 = codec_lib.LatentCodec(pc, pc_config, impl='pallas')
+    assert c2.impl == 'planar'
