@@ -115,11 +115,9 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
                       r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
 
         st_out[0] = states_s[:]
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bsub), 2)
-        row = jnp.zeros((1, 1, bsub), jnp.int32)
         for i in range(bsub):
-            row = row + jnp.where(iota_b == i, gptr_s[i], 0)
-        gout_ref[:] = row
+            # SMEM output: Mosaic only lowers SCALAR stores to SMEM.
+            gout_ref[0, 0, i] = gptr_s[i]
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, w2_ref, w3_ref, w4_ref, centers_ref,
