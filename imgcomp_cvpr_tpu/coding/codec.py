@@ -39,8 +39,9 @@ from . import rans
 from . import wavefront
 
 MAGIC = b'ICTC'  # imgcomp-cvpr-tpu codec
-VERSION = 5  # v4 + kernel-precision byte (pallas bf16-ring streams are only
-             # decodable by bf16-ring executables, and vice versa)
+VERSION = 6  # v5 + tight-stride pallas chunk layout (round 3): the rANS
+             # chunk order over the plane changed, so v5 pallas streams
+             # are not decodable — the version check rejects them cleanly.
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode

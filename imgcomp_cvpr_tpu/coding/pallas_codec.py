@@ -144,14 +144,20 @@ class PallasCoder:
 
     @staticmethod
     def _pick_bsub(bl: int, ring16: bool) -> int:
-        """Images per kernel instance: 2 when the bf16-ring batched kernel
-        applies (per-device batch even), else 1. f32 rings only fit VMEM
-        unbatched."""
+        """Images per kernel instance. The round-3 tight-stride rings
+        (pallas_kernel.build_pallas_schedule) halve ring VMEM, so the bf16
+        kernel fits FOUR images as lane segments at Kodak scale — the
+        whole per-step issue-bound chain is shared by 4 images. f32 rings
+        fit 2."""
         import os
         forced = os.environ.get('IMGCOMP_PALLAS_BSUB')
         if forced:
             return int(forced)
-        return 2 if (ring16 and bl % 2 == 0) else 1
+        if ring16 and bl % 4 == 0:
+            return 4
+        if bl % 2 == 0:
+            return 2 if ring16 else 1
+        return 1
 
     def _encode_ring16(self, b: int) -> bool:
         """Encode-side precision policy: bf16 rings whenever the GLOBAL
@@ -411,15 +417,24 @@ class _KernelSet:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _fold_weights(pc, pc_config, kf, L, pc_params, centers):
-    """Folded weight pack for the kernel: masked taps zeroed, L1 expanded to
-    the Q_CH-replicated input layout, per-layer all-pad activation constants."""
+    """Folded weight pack for the kernel: ONLY the unmasked taps (the
+    kernel's X fill and dots use the packed layout — dropping the
+    exact-zero masked-tap rows leaves every MXU partial sum bit-identical
+    while shrinking the contraction ~25%), L1 expanded to the
+    Q_CH-replicated input layout, per-layer all-pad activation constants."""
     from .cached import _layer_weights
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(pc_params, kf, L)
     pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
+    sel1 = np.asarray(pk._unmasked_taps(first=True))
+    selo = np.asarray(pk._unmasked_taps(first=False))
+    t1, to = len(sel1), len(selo)
+    w2 = w2.reshape(18, kf, kf)[selo].reshape(to * kf, kf)
+    w3 = w3.reshape(18, kf, kf)[selo].reshape(to * kf, kf)
+    w4 = w4.reshape(18, kf, L)[selo].reshape(to * kf, L)
     # L1 expansion: input ring carries Q_CH identical lanes; only lane 0
     # of each tap group carries the weight.
-    w1e = jnp.zeros((18, pk.Q_CH, kf), jnp.float32).at[:, 0, :].set(
-        w1.reshape(18, kf)).reshape(18 * pk.Q_CH, kf)
+    w1e = jnp.zeros((t1, pk.Q_CH, kf), jnp.float32).at[:, 0, :].set(
+        w1.reshape(18, kf)[sel1]).reshape(t1 * pk.Q_CH, kf)
     # All-pad activation constants seed the rings (shared with the XLA
     # ring impl, coding/ring.py: the two impls must agree on pad
     # semantics). Channel vectors become sublane-major (ch, 1) to match

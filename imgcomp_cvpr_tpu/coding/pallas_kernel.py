@@ -210,13 +210,13 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
         j_shift.append(js)
 
     # L3 residual skip reads THIS step's y1 plane at a scalar offset.
+    # No band widening needed: the skip is a tap (valid reads land at
+    # valid packed y1 positions by the same argument as J_STORE above).
     j0_1, dlo_1 = _row_maps(grids[1])
     j0_3, dlo_3 = _row_maps(grids[3])
     sk_d = dlo_3(t_arr + _C[3]) + 2 - dlo_1(t_arr + _C[1])
     sk_j = j0_3(t_arr + _C[3]) + 12 - j0_1(t_arr + _C[1])
     assert sk_d.min() >= 0 and sk_j.min() >= 0
-    DW[1] = max(DW[1], int(sk_d.max()) + DW[3])
-    J[1] = max(J[1], int(sk_j.max()) + J[3])
 
     # Q-plane write: the step's symbol plane lands in the level-0 row at a
     # scalar offset (d0 = d + p, h0 = h + p => j shifts by 6 p).
@@ -227,12 +227,15 @@ def build_pallas_schedule(latent_shape: Tuple[int, int, int]) -> PallasSchedule:
     q_sj = j0_4(t_arr) + 6 * p - j0_0(v0)
     assert q_sd.min() >= 0 and q_sj.min() >= 0, (q_sd.min(), q_sj.min())
 
-    # Global row stride: covers every level's own band and every consumer's
-    # j-reach, so one lane shift ds * J_STORE + dj addresses all taps.
-    J_STORE = max(max(J),
-                  max(int(j_shift[li].max()) + J[li + 1] for li in range(4)),
-                  int(sk_j.max()) + J[3],
-                  int(q_sj.max()) + J[4])
+    # Global row stride: the TIGHT band extent (round 3; was consumer
+    # j-reach ~2x wider). A valid output cell's tap read lands at the
+    # input's own packed position (rel_d + ds) * J_STORE + (j + dj) with
+    # j + dj < J_input <= J_STORE by definition, so valid reads never
+    # cross a d-row regardless of stride; reads that do cross are
+    # junk-lane reads (masked everywhere, same argument as ring wrap).
+    # Halving the stride halves ring VMEM, which is what lets bsub=4 pack
+    # four images into the same vector width (see _pick_bsub).
+    J_STORE = max(J)
 
     # Ring lane extents: next power of two covering the row's valid band
     # (tap reads are full-row dynamic rolls; pltpu.roll is only correct for
@@ -561,8 +564,15 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     chunk_offs = sched.chunk_offs
     NS = sched.table.shape[-1]
     wrows = kernel_stream_rows(sched, bsub)
-    K1 = 18 * Q_CH
-    K = 18 * kf
+    # Weights/X pack ONLY the unmasked taps (13 first / 14 other of 18):
+    # masked taps carry exactly-zero folded weights, and dropping exact
+    # zeros from an MXU accumulation chain leaves every partial sum
+    # bit-identical, so streams are unchanged while the dot contraction
+    # shrinks ~25% (the dots are the largest lane-proportional step cost).
+    taps_l1 = _unmasked_taps(first=True)
+    taps_lo = _unmasked_taps(first=False)
+    K1 = len(taps_l1) * Q_CH
+    K_O = len(taps_lo) * kf
     assert L >= 2
     rdt = jnp.bfloat16 if ring16 else jnp.float32
     BR = bsub * R
@@ -588,7 +598,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                act_ref, acm_ref, true_ref, stream_ref, inst_ref,
                sym_out, fsel_out, ssel_out,
-               r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
+               r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, symd_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
@@ -603,6 +613,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
             X[:] = jnp.zeros(X.shape, rdt)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
+            symd_s[:] = jnp.zeros(symd_s.shape, jnp.int32)
 
         if ablate == 'empty':
             # Floor measurement: touch every streamed ref once, no compute.
@@ -624,14 +635,15 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                       w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                       act_ref, acm_ref, true_ref, stream_ref,
                       sym_out, fsel_out, ssel_out,
-                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
+                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s,
+                      symd_s)
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                   act_ref, acm_ref, true_ref, stream_ref,
                   sym_out, fsel_out, ssel_out,
-                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
+                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, symd_s):
         t = tb * KS + k
         slot = jax.lax.rem(t, VR)
         if ablate in ('staticslot', 'staticboth'):  # timing probe only
@@ -643,13 +655,12 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             # Dynamic lane-offset reads are not lowerable; a full-row
             # dynamic roll + static slice is (and wrapped/cross-segment
             # lanes only ever land on dead cells, which stay finite by
-            # construction). Fully-masked taps are skipped: their folded
-            # weights are exact zeros, so stale X columns contribute
-            # nothing.
-            taps = _unmasked_taps(first=(li == 1))
+            # construction). Only unmasked taps exist in the packed X /
+            # weight layout (see make_forward).
+            taps = taps_l1 if li == 1 else taps_lo
             if ablate == 'notaps':
                 taps = taps[:1]
-            for o in taps:
+            for ci, o in enumerate(taps):
                 if ablate in ('staticshift', 'staticboth'):
                     sh = (o * 3) % 7  # timing probe: no scalar-table read
                 else:
@@ -657,7 +668,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 # Mosaic's dynamic_rotate only lowers for 32-bit lanes:
                 # bf16 ring rows are rolled through f32.
                 row = _roll(ring[rows[o]].astype(jnp.float32), -sh)
-                X[o * ch:(o + 1) * ch, :] = row.astype(rdt)
+                X[ci * ch:(ci + 1) * ch, :] = row.astype(rdt)
 
         def layer_dot(w_ref, b_ref, kdim):
             if ablate == 'nodot':
@@ -683,20 +694,20 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
         # Layer 2.
         fill_X(r1, 2, kf)
-        y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K))
+        y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K_O))
         r2[slot] = y2.astype(rdt)
 
         # Layer 3 (+ residual skip from this step's y1, no relu).
         fill_X(r2, 3, kf)
         skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])
-        y3 = layer_dot(w3_ref, b3_ref, K) + skip
+        y3 = layer_dot(w3_ref, b3_ref, K_O) + skip
         r3[slot] = y3.astype(rdt)
 
         # Layer 4: logits over the full batched plane (lanes outside each
         # image's latent band are junk, masked by the active maps). The
         # reference ReLUs its output layer too (ref: probclass.py:220-233).
         fill_X(r3, 4, kf)
-        logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K))
+        logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K_O))
         if ablate == 'nocdf':   # timing probe only
             freq = jnp.full(logits.shape, 1024, jnp.int32)
             cdf = jnp.zeros(logits.shape, jnp.int32)
@@ -736,21 +747,29 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             _q_write(k, table_ref, act_ref, pad_ref, vals, r0, slot)
             return
 
-        def img_cat(x2d, base):
-            # (rows, W_ALL) -> (rows, bsub*R): image i's R lanes at base.
-            if bsub == 1:
-                return x2d[:, base:base + R]
-            return jnp.concatenate(
-                [x2d[:, i * LSEG + base:i * LSEG + base + R]
-                 for i in range(bsub)], axis=1)
+        # Chunk-major freq/cdf row, built ONCE: the sequential loop slices
+        # it per chunk and the vectorized epilogue consumes it whole.
+        fq_cm = jnp.concatenate(
+            [freq[:, i * LSEG + base:i * LSEG + base + R]
+             for base in chunk_offs for i in range(bsub)], axis=1)
+        cl_cm = jnp.concatenate(
+            [cdf[:, i * LSEG + base:i * LSEG + base + R]
+             for base in chunk_offs for i in range(bsub)], axis=1)
+        ncm = fq_cm.shape[1]                           # S * bsub * R
 
+        # Sequential pass: ONLY the true rANS state chain (symbol recovery
+        # + renorm) lives in the per-chunk loop; recovered symbols are
+        # recorded and everything else (mode select, fsel/ssel/value
+        # one-hots, output/vals writes) runs once, vectorized over the
+        # whole row — the per-chunk epilogue was ~6 us/step of pure issue
+        # latency (round-3 ablation).
         for si, base in enumerate(chunk_offs):
             cq = si * BR                               # chunk-major lane
 
             @pl.when(table_ref[k, 0, _TBL_SUBIT + si] != 0)
             def _sub(base=base, cq=cq):
-                fq = img_cat(freq, base)               # (L, BR) i32
-                cl = img_cat(cdf, base)
+                fq = fq_cm[:, cq:cq + BR]              # (L, BR) i32
+                cl = cl_cm[:, cq:cq + BR]
                 a = acm_ref[k, :, cq:cq + BR] != 0     # (1, BR)
                 st = states_s[:]                       # (1, BR) u32
                 slot_u = st & jnp.uint32(rans.SCALE - 1)
@@ -811,24 +830,32 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                                   | wsel.astype(jnp.uint32), x)
                     states_s[:] = jnp.where(a, x, st)
 
-                sym_true = true_ref[0, k, :, cq:cq + BR]     # (1, BR) i32
-                sym = jnp.where(mode == 1, sym_true, symd)
-                sym = jnp.where(a, sym, 0)
-                ohs = lidx == sym
-                fsel = jnp.sum(jnp.where(ohs, fq, 0), axis=0, keepdims=True)
-                ssel = jnp.sum(jnp.where(ohs, cl, 0), axis=0, keepdims=True)
-                v = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
-                            axis=0, keepdims=True)
-                for i in range(bsub):
-                    vals[:, i * LSEG + base:i * LSEG + base + R] = \
-                        v[:, i * R:(i + 1) * R]
-                sym_out[0, k, :, cq:cq + BR] = sym
-                fsel_out[0, k, :, cq:cq + BR] = fsel
-                ssel_out[0, k, :, cq:cq + BR] = ssel
+                symd_s[0:1, cq:cq + BR] = symd
 
-            # No else-branch: outputs are pre-skipped (chunk-major lanes of
-            # skipped chunks are garbage, masked by active_cm downstream),
-            # and the q-write masks vals by THIS step's act.
+            # Skipped chunks leave symd_s stale — masked by active_cm in
+            # the epilogue, exactly like the former per-chunk garbage.
+
+        # Vectorized epilogue (identical math to the per-chunk version:
+        # the one-hot selections over integers and the single-center value
+        # pick are exact, so streams are unchanged).
+        a_row = acm_ref[k, :, 0:ncm] != 0
+        sym = jnp.where(mode == 1, true_ref[0, k, :, 0:ncm],
+                        symd_s[0:1, 0:ncm])
+        sym = jnp.where(a_row, sym, 0)
+        lidx_cm = jax.lax.broadcasted_iota(jnp.int32, (L, ncm), 0)
+        ohs = lidx_cm == sym
+        fsel = jnp.sum(jnp.where(ohs, fq_cm, 0), axis=0, keepdims=True)
+        ssel = jnp.sum(jnp.where(ohs, cl_cm, 0), axis=0, keepdims=True)
+        v_cm = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
+                       axis=0, keepdims=True)
+        sym_out[0, k, :, 0:ncm] = sym
+        fsel_out[0, k, :, 0:ncm] = fsel
+        ssel_out[0, k, :, 0:ncm] = ssel
+        for si, base in enumerate(chunk_offs):
+            for i in range(bsub):
+                src = (si * bsub + i) * R
+                vals[:, i * LSEG + base:i * LSEG + base + R] = \
+                    v_cm[:, src:src + R]
 
         # Q-row write: each image's latent rectangle sits at its segment of
         # a pad-valued row, rotated into place (dynamic lane-granularity
@@ -877,7 +904,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
                  jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
                  jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32))
-    X_K = max(K, K1)
+    X_K = max(K_O, K1)
     scratch = [
         pltpu.VMEM((VR, Q_CH, W_ALL), rdt),              # r0
         pltpu.VMEM((VR, kf, W_ALL), rdt),                # r1
@@ -888,6 +915,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pltpu.VMEM((1, W_ALL), jnp.float32),             # vals
         pltpu.VMEM((1, BR), jnp.uint32),                 # states
         pltpu.SMEM((bsub,), jnp.int32),                  # gptr
+        pltpu.VMEM((1, CQB), jnp.int32),                 # symd (decoded row)
     ]
 
     call = pl.pallas_call(
