@@ -318,13 +318,24 @@ class PlanarCoder:
             out = jnp.transpose(vols, (0, 2, 1, 3)).reshape(bl, C * HW)
             return out.astype(jnp.int8), crc_of(out)
 
+        @functools.partial(jax.jit, static_argnames=('rows_b',))
+        def pad_stream(words_u16, rows_b):
+            # (b_grp, bsub, rows_b, 128) u16 on the wire -> full-capacity
+            # u32 buffer; only the used rows cross the (slow) host link.
+            bg = words_u16.shape[0]
+            full = jnp.zeros((bg, bsub * wrows, 128), jnp.uint32)
+            for j in range(bsub):
+                full = full.at[:, j * wrows:j * wrows + rows_b].set(
+                    words_u16[:, j].astype(jnp.uint32))
+            return full
+
         run_dev = self._shard_wrap(run, n_rep=3, n_batch=3, n_out=3)
         rev_dev = self._shard_wrap(rev_and_theo, n_rep=0, n_batch=2,
                                    n_out=4)
         crc_dev = self._shard_wrap(crc_of, n_rep=0, n_batch=1, n_out=1)
         unpack_dev = self._shard_wrap(unpack, n_rep=0, n_batch=1, n_out=2)
-        return _Fns(run_dev, rev_dev, crc_dev, unpack_dev, sched, bsub,
-                    b_out, wrows, BR)
+        return _Fns(run_dev, rev_dev, crc_dev, unpack_dev, pad_stream,
+                    sched, bsub, b_out, wrows, BR)
 
     # -- public API (mirrors PallasCoder) -------------------------------------
 
@@ -395,18 +406,23 @@ class PlanarCoder:
         ks = self._run_fns(latent_shape, b)
         bsub, b_out_g, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         n = int(np.prod(latent_shape))
-        packed = np.zeros((b // bsub, bsub * wrows, 128), np.uint32)
+        nmax = max([1] + [len(p[1]) for p in parsed])
+        # Bucketed used-row count: bounds recompiles of pad_stream while
+        # keeping the host-link transfer proportional to the real streams.
+        rows_b = min(wrows, _round_up(-(-nmax // 128) + 1, 8))
+        packed = np.zeros((b // bsub, bsub, rows_b, 128), np.uint16)
         states = np.zeros((b // bsub, 1, bsub, R), np.uint32)
         for i, (_, stream_words, st, _crc) in enumerate(parsed):
             assert len(st) == R, (len(st), R)
             g, j = divmod(i, bsub)
             states[g, 0, j, :] = st
-            rows = packed[g, j * wrows:(j + 1) * wrows].reshape(-1)
-            rows[:len(stream_words)] = stream_words
+            flat = packed[g, j].reshape(-1)
+            flat[:len(stream_words)] = stream_words
         dummy_syms = jnp.zeros((b, n), jnp.int8)
+        streams_dev = ks.pad_stream(jnp.asarray(packed), rows_b=rows_b)
         syms_co, _, _ = ks.run_dev(
             pc_params, jnp.asarray(centers), jnp.zeros((1,), jnp.int32),
-            dummy_syms, jnp.asarray(packed),
+            dummy_syms, streams_dev,
             jnp.asarray(states.reshape(b // bsub, 1, bsub * R)))
         out, crcs = ks.unpack_dev(syms_co)
         return (latent_shape, parsed, out, crcs)
@@ -436,12 +452,13 @@ class PlanarCoder:
 
 
 class _Fns:
-    def __init__(self, run_dev, rev_dev, crc_dev, unpack_dev, sched, bsub,
-                 b_out, wrows, BR):
+    def __init__(self, run_dev, rev_dev, crc_dev, unpack_dev, pad_stream,
+                 sched, bsub, b_out, wrows, BR):
         self.run_dev = run_dev
         self.rev_dev = rev_dev
         self.crc_dev = crc_dev
         self.unpack_dev = unpack_dev
+        self.pad_stream = pad_stream
         self.sched = sched
         self.bsub = bsub
         self.b_out = b_out
