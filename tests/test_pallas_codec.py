@@ -121,13 +121,16 @@ def test_bsub_batched_kernel_stream_invariance(monkeypatch):
 
     from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
 
+    monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '4')
+    res4 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
     monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '2')
     res2 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
     monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '1')
     res1 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
     monkeypatch.delenv('IMGCOMP_PALLAS_BSUB')
-    for a, b in zip(res2, res1):
+    for a, b, c in zip(res2, res1, res4):
         assert a.bitstream == b.bitstream
+        assert c.bitstream == b.bitstream
         assert a.theoretical_bits == pytest.approx(b.theoretical_bits,
                                                    rel=1e-6)
 
