@@ -1083,27 +1083,50 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                                       old1).astype(jnp.uint32)
                         gw_s[i] = gw + total_i
                 else:
+                    # Compact the emitted words to a dense descending-rank
+                    # run with ONE one-hot matmul pair (byte-split, exact),
+                    # then one dynamic roll places the run at the write
+                    # offset and iota masks merge it — emitted positions
+                    # are exactly [goff, goff + total), so placement is
+                    # bit-identical to the old per-position scatter
+                    # (6 MXU dots -> 2 per image per chunk).
                     fwd = _excl_rank(ei, bsub)
+                    iRR = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+                    i256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+                    dims = (((1,), (1,)), ((), ()))
                     for i in range(bsub):
                         sl = slice(i * R, (i + 1) * R)
-                        ei_i = ei[:, sl]
-                        total_i = jnp.sum(ei_i)
+                        total_i = jnp.sum(ei[:, sl])
                         gw = gw_s[i]
                         grow = jnp.minimum(gw // 128, wrows - 2)
                         goff = gw - grow * 128
-                        pos = jnp.where(emit[:, sl],
-                                        goff + total_i - 1 - fwd[:, sl], -1)
-                        r0n, r1n, m0, m1 = _scatter_words(word[:, sl], pos,
-                                                          emit[:, sl])
+                        tgt = jnp.where(emit[:, sl],
+                                        total_i - 1 - fwd[:, sl], -1)
+                        # oh[k, r] = (tgt_r == k): r stays in the lane dim
+                        # (no cross-lane transpose), contraction over r.
+                        oh = (iRR == tgt).astype(jnp.float32)
+                        hi = (word[:, sl] >> 8).astype(jnp.float32)
+                        lo = (word[:, sl] & 0xFF).astype(jnp.float32)
+                        dense = (jax.lax.dot_general(hi, oh, dims)
+                                 .astype(jnp.int32) * 256
+                                 + jax.lax.dot_general(lo, oh, dims)
+                                 .astype(jnp.int32))
+                        pad256 = jnp.concatenate(
+                            [dense, jnp.zeros((1, 256 - R), jnp.int32)],
+                            axis=1)
+                        place = _roll(pad256, goff)
+                        m256 = (i256 >= goff) & (i256 < goff + total_i)
                         rbase = i * wrows
                         old0 = words_out[0, pl.ds(rbase + grow, 1),
                                          :].astype(jnp.int32)
                         old1 = words_out[0, pl.ds(rbase + grow + 1, 1),
                                          :].astype(jnp.int32)
                         words_out[0, pl.ds(rbase + grow, 1), :] = jnp.where(
-                            m0, r0n, old0).astype(jnp.uint32)
+                            m256[:, 0:128], place[:, 0:128],
+                            old0).astype(jnp.uint32)
                         words_out[0, pl.ds(rbase + grow + 1, 1), :] = \
-                            jnp.where(m1, r1n, old1).astype(jnp.uint32)
+                            jnp.where(m256[:, 128:256], place[:, 128:256],
+                                      old1).astype(jnp.uint32)
                         gw_s[i] = gw + total_i
                 st = jnp.where(emit, st >> rans.WORD_BITS, st)
                 if ablate == 'nodiv':

@@ -36,7 +36,10 @@ def _free_compiled_executables_between_modules():
     cache when a test module finishes."""
     yield
     from imgcomp_cvpr_tpu.coding import pallas_kernel as pk
+    from imgcomp_cvpr_tpu.coding import planar_kernel as plk
     pk.make_forward.cache_clear()
     pk.make_reverse.cache_clear()
+    plk.make_plane_forward.cache_clear()
+    plk.make_plane_reverse.cache_clear()
     jax.clear_caches()
     gc.collect()
