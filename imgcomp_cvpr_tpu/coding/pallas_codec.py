@@ -43,6 +43,10 @@ class PallasCoder:
         self.kf = pc_config.arch_param__k
         self.L = pc.num_centers
         self.mesh = mesh
+        # Adaptive stream-row prediction (see encode_batch_submit): rows of
+        # the stream buffer the NEXT batch's row-selection gather will
+        # fetch, keyed per kernel layout, learned from the last batch.
+        self._rneed_pred = {}
 
     def _shard_wrap(self, fn, n_in_batch, n_out):
         """shard_map fn over the data axis: first args replicated params/
@@ -267,10 +271,33 @@ class PallasCoder:
 
     # -- encode ---------------------------------------------------------------
 
+    @functools.lru_cache(maxsize=32)
+    def _take_fn(self, wrows, bsub, rneed):
+        """One-dispatch row-selection gather: (b_out, bsub*wrows, 128)
+        uint32 stream buffer -> the first `rneed` rows of every image's
+        segment, as uint16 wire words (rANS renorm words are 16-bit)."""
+        row_idx = jnp.asarray(np.concatenate(
+            [np.arange(i * wrows, i * wrows + rneed)
+             for i in range(bsub)]))
+
+        @jax.jit
+        def take(words):
+            return jnp.take(words, row_idx, axis=1).astype(jnp.uint16)
+
+        return take
+
     def encode_batch_submit(self, pc_params, symbols, centers):
         """symbols: (B, C, H, W) int — numpy OR a device array. Device
         symbols never cross the host link: the container checksum is
-        computed on device (codec.symbol_crc_device)."""
+        computed on device (codec.symbol_crc_device).
+
+        The stream-row selection gather is PRE-DISPATCHED here with a row
+        count predicted from the previous batch (finish() falls back to an
+        exact re-gather on underprediction). Dispatching it at finish time
+        would queue it behind whatever large kernel the caller's pipeline
+        submitted in between — measured 170 ms/batch of hidden queue wait
+        on the remote-dispatch link at Kodak B=16 — while at submit time
+        it runs right after this batch's encode kernel."""
         host_symbols = None
         if not isinstance(symbols, jax.Array):
             host_symbols = np.asarray(symbols)
@@ -281,13 +308,16 @@ class PallasCoder:
         ks = self._kernels(latent_shape, b, ring16)
         words, n_words, states, theo, crcs = ks.encode_dev(
             pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
+        pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
+        presel = (self._take_fn(ks.wrows, ks.bsub, pred)(words)
+                  if pred else None)
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ring16, ks, pc_params, centers, symbols)
+                crcs, ring16, ks, pc_params, centers, symbols, presel, pred)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ring16, ks, pc_params, centers, symbols) = handle
+         ring16, ks, pc_params, centers, symbols, presel, pred) = handle
         theo, n_words, states, crcs = jax.device_get(
             (theo, n_words, states, crcs))
         crcs = np.asarray(crcs).reshape(b)
@@ -310,20 +340,25 @@ class PallasCoder:
                     pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
                 return self.encode_batch_finish(
                     (latent_shape, host_symbols, b, words, n_words, states,
-                     theo, crcs, ring16, ks1, pc_params, centers, symbols))
+                     theo, crcs, ring16, ks1, pc_params, centers, symbols,
+                     None, 0))
             raise ValueError(
                 f'stream exceeded the kernel word cap ({cap}) even at '
                 'bsub=1 — the symbol volume is pathologically incompressible')
         # words: (b_out, bsub*wrows, 128) -> per-image rows; only the rows
-        # that can hold real words cross the (slow) host link.
+        # that can hold real words cross the (slow) host link, as 16-bit
+        # wire words (rANS renorm words are 16-bit: halves the transfer).
         wmax = int(n_words.max()) if n_words.size else 0
-        rneed = min(ks.wrows, max(1, -(-wmax // 128) + 1))
-        row_idx = np.concatenate(
-            [np.arange(i * ks.wrows, i * ks.wrows + rneed)
-             for i in range(ks.bsub)])
-        # 16-bit on the wire (words are rANS renorm halves): halves the
-        # host-link transfer.
-        sel = jnp.take(words, jnp.asarray(row_idx), axis=1).astype(jnp.uint16)
+        rneed_act = min(ks.wrows, max(1, -(-wmax // 128) + 1))
+        if presel is not None and pred >= rneed_act:
+            sel, rneed = presel, pred     # pre-dispatched at submit time
+        else:
+            rneed = rneed_act
+            sel = self._take_fn(ks.wrows, ks.bsub, rneed)(words)
+        # Predict the next batch's rows: actual need + 2 rows of headroom,
+        # rounded up (few distinct gather executables, fewer mispredicts).
+        self._rneed_pred[(latent_shape, ks.wrows, ks.bsub)] = min(
+            ks.wrows, pk._round_up(rneed_act + 2, 4))
         host_words = np.asarray(jax.device_get(sel)).reshape(
             b, rneed * 128).astype(np.uint32)
         prec = 1 if ring16 else 0

@@ -180,3 +180,30 @@ def test_enc_parallel_matches_shared_executable(monkeypatch):
     codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
     dec = codec.decode_batch(params, [r.bitstream for r in res_par], centers)
     np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_presel_prediction_paths():
+    """Repeated encodes reuse the pre-dispatched stream-row gather
+    (submit-time presel); an underprediction falls back to an exact
+    re-gather at finish. Streams must be identical either way."""
+    pc, cfg, params, centers, rng = _setup(seed=17)
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+
+    from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
+    coder = PallasCoder(pc, cfg)
+    first = coder.encode_batch(params, syms, centers)   # no prediction yet
+    assert coder._rneed_pred                            # learned from batch 1
+    second = coder.encode_batch(params, syms, centers)  # presel hit
+    for a, b in zip(first, second):
+        assert a.bitstream == b.bitstream
+    # Force an underprediction: presel (dispatched with 1 row) covers too
+    # few rows — any non-empty stream needs >= 2 (rneed = ceil/128 + 1) —
+    # so finish must detect pred < rneed_act and re-gather exactly.
+    for key in coder._rneed_pred:
+        coder._rneed_pred[key] = 1
+    third = coder.encode_batch(params, syms, centers)
+    for a, b in zip(first, third):
+        assert a.bitstream == b.bitstream
+    dec = codec_lib.LatentCodec(pc, cfg, impl='pallas').decode_batch(
+        params, [r.bitstream for r in second], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
