@@ -71,7 +71,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _WINDOW = [(dz, dy, dx) for dz in range(2) for dy in range(3) for dx in range(3)]
 _OFFS = [25 * dz + 5 * dy + dx for dz, dy, dx in _WINDOW]
-VR = 38                    # ring slots: window offsets span [-31, +6]
+VR = 32                    # ring slots: UNMASKED tap offsets span [-31, 0]
+# (masked taps — rel +1..+6 — are never read since the packed-taps change,
+# so 32 slots retain every row a real read can touch; offsets mod 32 make
+# aliased slots land only on never-read masked positions. Streams are
+# byte-identical to the former VR=38 rings — verified on CPU + TPU.)
 _C = (124, 93, 62, 31, 0)  # v-row constant per level (q, L1..L4)
 R = 32                     # persistent rANS lanes
 K_STEPS = 8                # wavefront steps per grid iteration (pipeline amortization)
