@@ -396,6 +396,34 @@ def _gather_words(row0, row1, pos):
     return sel(row0, oh0) + sel(row1, oh1)
 
 
+def _gather_words_batched(win, pos):
+    """Batched gather: win (bsub, 256) i32 sublane-stacks every image's
+    two-row stream window; pos (1, bsub*R) i32 holds in-window positions
+    (already per-image-offset; -1 for lanes that take no word). Lane
+    c = i*R + r of the result reads win[i, pos_c].
+
+    ONE byte-split one-hot dot pair serves ALL images (the round-3 kernel
+    issued 4 dots PER image on the sequential decode chain): column c has
+    at most one hit at row pos_c, so every (image-row, c) output is a
+    single-term sum of a byte value — bf16-exact at DEFAULT precision —
+    and the static image-block mask keeps only image(c)'s row."""
+    bsub = win.shape[0]
+    n = pos.shape[1]
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (256, n), 0)
+    oh = (i0 == pos).astype(jnp.float32)               # (256, n)
+    dims = (((1,), (0,)), ((), ()))
+    hi = (win >> 8).astype(jnp.float32)
+    lo = (win & 0xFF).astype(jnp.float32)
+    h = jax.lax.dot_general(hi, oh, dims)              # (bsub, n)
+    l = jax.lax.dot_general(lo, oh, dims)
+    res = h.astype(jnp.int32) * 256 + l.astype(jnp.int32)
+    if bsub == 1:
+        return res
+    bi = jax.lax.broadcasted_iota(jnp.int32, (bsub, n), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (bsub, n), 1) // R
+    return jnp.sum(jnp.where(bi == li, res, 0), axis=0, keepdims=True)
+
+
 def _scatter_words(word, pos, valid):
     """Place word lanes (1, R) i32 at in-window positions pos (1, R) over two
     128-lane rows; returns (row0, row1, mask0, mask1). One-hot matvecs that
@@ -810,8 +838,16 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                                else jnp.concatenate(wins, axis=1))
                         wsel = _expand_words_vpu(win, ni, rank, _roll)
                     else:
+                        # Per-image window reads + gptr updates stay in the
+                        # loop; the word selection itself is ONE batched
+                        # one-hot dot pair over all images (see
+                        # _gather_words_batched — was 4 MXU dots per image
+                        # on this sequential chain).
                         rank = _excl_rank(ni, bsub)
-                        wparts = []
+                        lane_blk = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, BR), 1) // R
+                        rows = []
+                        pos = jnp.full((1, BR), -1, jnp.int32)
                         for i in range(bsub):
                             gp = gptr_s[i]
                             grow = jnp.minimum(gp // 128, wrows - 2)
@@ -821,14 +857,14 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                                               :].astype(jnp.int32)
                             row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
                                               :].astype(jnp.int32)
-                            ni_i = ni[:, i * R:(i + 1) * R]
-                            pos = jnp.where(need[:, i * R:(i + 1) * R],
-                                            goff + rank[:, i * R:(i + 1) * R],
-                                            -1)
-                            wparts.append(_gather_words(row0, row1, pos))
-                            gptr_s[i] = gp + jnp.sum(ni_i)
-                        wsel = (wparts[0] if bsub == 1
-                                else jnp.concatenate(wparts, axis=1))
+                            rows.append(jnp.concatenate([row0, row1],
+                                                        axis=1))
+                            pos = jnp.where(lane_blk == i, goff + rank, pos)
+                            gptr_s[i] = gp + jnp.sum(ni[:, i * R:(i + 1) * R])
+                        pos = jnp.where(need, pos, -1)
+                        win = (rows[0] if bsub == 1
+                               else jnp.concatenate(rows, axis=0))
+                        wsel = _gather_words_batched(win, pos)
                     x = jnp.where(need,
                                   (x << rans.WORD_BITS)
                                   | wsel.astype(jnp.uint32), x)
@@ -1087,34 +1123,42 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                                       old1).astype(jnp.uint32)
                         gw_s[i] = gw + total_i
                 else:
-                    # Compact the emitted words to a dense descending-rank
-                    # run with ONE one-hot matmul pair (byte-split, exact),
-                    # then one dynamic roll places the run at the write
-                    # offset and iota masks merge it — emitted positions
-                    # are exactly [goff, goff + total), so placement is
-                    # bit-identical to the old per-position scatter
-                    # (6 MXU dots -> 2 per image per chunk).
+                    # Compact the emitted words to dense descending-rank
+                    # runs for ALL images with ONE one-hot matmul pair
+                    # (byte-split, exact; was 2 dots per image): column r
+                    # of image i lands at k = i*R + total_i - 1 - fwd_r,
+                    # i.e. the dense runs sit in the images' own R-lane
+                    # blocks. Then per image one dynamic roll places the
+                    # run at the write offset and iota masks merge it —
+                    # emitted positions are exactly [goff, goff + total),
+                    # bit-identical to the per-position scatter.
                     fwd = _excl_rank(ei, bsub)
-                    iRR = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+                    lane_blk = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, BR), 1) // R
                     i256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
                     dims = (((1,), (1,)), ((), ()))
+                    tots = []
+                    tot_vec = jnp.zeros((1, BR), jnp.int32)
                     for i in range(bsub):
-                        sl = slice(i * R, (i + 1) * R)
-                        total_i = jnp.sum(ei[:, sl])
-                        gw = gw_s[i]
-                        grow = jnp.minimum(gw // 128, wrows - 2)
-                        goff = gw - grow * 128
-                        tgt = jnp.where(emit[:, sl],
-                                        total_i - 1 - fwd[:, sl], -1)
-                        # oh[k, r] = (tgt_r == k): r stays in the lane dim
-                        # (no cross-lane transpose), contraction over r.
-                        oh = (iRR == tgt).astype(jnp.float32)
-                        hi = (word[:, sl] >> 8).astype(jnp.float32)
-                        lo = (word[:, sl] & 0xFF).astype(jnp.float32)
-                        dense = (jax.lax.dot_general(hi, oh, dims)
+                        t_i = jnp.sum(ei[:, i * R:(i + 1) * R])
+                        tots.append(t_i)
+                        tot_vec = tot_vec + jnp.where(lane_blk == i, t_i, 0)
+                    tgt = jnp.where(emit, lane_blk * R + tot_vec - 1 - fwd,
+                                    -1)
+                    iBB = jax.lax.broadcasted_iota(jnp.int32, (BR, BR), 0)
+                    oh = (iBB == tgt).astype(jnp.float32)
+                    hi = (word >> 8).astype(jnp.float32)
+                    lo = (word & 0xFF).astype(jnp.float32)
+                    dense_all = (jax.lax.dot_general(hi, oh, dims)
                                  .astype(jnp.int32) * 256
                                  + jax.lax.dot_general(lo, oh, dims)
                                  .astype(jnp.int32))
+                    for i in range(bsub):
+                        total_i = tots[i]
+                        gw = gw_s[i]
+                        grow = jnp.minimum(gw // 128, wrows - 2)
+                        goff = gw - grow * 128
+                        dense = dense_all[:, i * R:(i + 1) * R]
                         pad256 = jnp.concatenate(
                             [dense, jnp.zeros((1, 256 - R), jnp.int32)],
                             axis=1)
