@@ -524,7 +524,8 @@ def stream_impl_id(data: bytes) -> int:
 
 
 def stream_prec(data: bytes) -> int:
-    """Kernel precision the stream was encoded with (0 = f32 rings,
-    1 = bf16 rings). Streams are only decodable at their own precision."""
+    """Kernel ring precision the stream was encoded with (0 = f32,
+    1 = bf16, 2 = f8_e4m3 inner rings). Streams are only decodable at
+    their own precision."""
     assert data[:4] == MAGIC, 'bad magic'
     return data[7]

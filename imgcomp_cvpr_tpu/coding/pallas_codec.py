@@ -27,6 +27,16 @@ def _use_interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
+# Container precision byte <-> ring precision (pallas_kernel.make_forward):
+# streams are only decodable at their own precision.
+_PREC_ID = {'f32': 0, 'bf16': 1, 'f8': 2}
+_PREC_FROM_ID = {v: k for k, v in _PREC_ID.items()}
+# Max images per kernel instance per precision: ring VMEM halves at each
+# step down (f32 rings fit 2 at Kodak scale but f32 stays the unbatched
+# oracle path; bf16 fits 4; f8 inner rings fit 8).
+_PREC_BSUB_CAP = {'f32': 1, 'bf16': 4, 'f8': 8}
+
+
 class PallasCoder:
     """Entropy codec for one (pc_config, num_centers) context model, running
     the whole wavefront scan in one Pallas kernel. kernel_size must be 3.
@@ -147,36 +157,45 @@ class PallasCoder:
                              pc_params, jnp.asarray(centers))
 
     @staticmethod
-    def _pick_bsub(bl: int, ring16: bool) -> int:
-        """Images per kernel instance. The round-3 tight-stride rings
-        (pallas_kernel.build_pallas_schedule) halve ring VMEM, so the bf16
-        kernel fits FOUR images as lane segments at Kodak scale — the
-        whole per-step issue-bound chain is shared by 4 images. f32 rings
-        fit 2."""
+    def _pick_bsub(bl: int, prec: str) -> int:
+        """Images per kernel instance: the largest power of two dividing
+        the per-device batch, up to the precision's ring-VMEM cap (the
+        whole per-step issue-bound chain is shared by bsub images — the
+        round-3/4 throughput lever)."""
         import os
         forced = os.environ.get('IMGCOMP_PALLAS_BSUB')
         if forced:
             return int(forced)
-        if ring16 and bl % 4 == 0:
-            return 4
-        if bl % 2 == 0:
-            return 2 if ring16 else 1
+        for d in (8, 4, 2):
+            if d <= _PREC_BSUB_CAP[prec] and bl % d == 0:
+                return d
         return 1
 
-    def _encode_ring16(self, b: int) -> bool:
-        """Encode-side precision policy: bf16 rings whenever the GLOBAL
-        batch is even (so the batched kernel applies on at least the
-        single-device layout; within one precision, streams are bitwise
-        identical across bsub, batch size, and device count — tested).
-        IMGCOMP_PALLAS_PREC=f32 forces the full-precision unbatched path
-        (e.g. for the theory==loss oracle at 1e-5)."""
+    def _encode_prec(self, b: int) -> str:
+        """Encode-side ring-precision policy: bf16 rings whenever the
+        GLOBAL batch is even (+0.06% measured bpp), f32 otherwise (the
+        theory==loss oracle path at 1e-5). Within one precision, streams
+        are bitwise identical across bsub, batch size, and device count
+        — tested; across precisions they are mutually undecodable (the
+        container prec byte routes decode). IMGCOMP_PALLAS_PREC=
+        f32|bf16|f8 overrides.
+
+        'f8' (e4m3 inner rings, bsub up to 8, +0.18% bpp) is opt-in, NOT
+        the default: on the v5e the per-tap f8->f32 converts cost ~2x
+        the whole step (8-bit (32,128) tiling forces lane/sublane
+        shuffles on every ring read) — measured 12.4/10.5 vs bf16's
+        6.0/4.0 us/step/img enc/dec at bsub=4, and bsub=8 f8 lands at
+        11.6/9.8. Kept (correct, bit-exact, tested) for hardware where
+        8-bit relayouts are cheap."""
         import os
-        if os.environ.get('IMGCOMP_PALLAS_PREC') == 'f32':
-            return False
-        return b % 2 == 0
+        forced = os.environ.get('IMGCOMP_PALLAS_PREC')
+        if forced:
+            assert forced in _PREC_ID, forced
+            return forced
+        return 'bf16' if b % 2 == 0 else 'f32'
 
     @functools.lru_cache(maxsize=16)
-    def _kernels(self, latent_shape, b, ring16, bsub_max=None):
+    def _kernels(self, latent_shape, b, prec, bsub_max=None):
         # One jitted device function per direction. Packing/padding and the
         # pallas call MUST live in the same jit: the pack gather / pad
         # scatter produce non-default XLA layouts, and a pallas kernel
@@ -188,22 +207,25 @@ class PallasCoder:
         # and shapes), preserving encode==decode float determinism.
         # With a mesh, the kernel is built at the per-device batch size and
         # spans devices via shard_map (per-image math is batch-index free,
-        # so results are bitwise identical at any device count). ring16
-        # selects bf16 activation rings (container prec 1): numerics are
-        # identical across batch sizes and bsub within one precision, but
-        # f32 and bf16 streams are mutually undecodable.
+        # so results are bitwise identical at any device count). prec
+        # selects the activation-ring precision ('f32'/'bf16'/'f8',
+        # container prec byte 0/1/2): numerics are identical across batch
+        # sizes and bsub within one precision, but streams of different
+        # precisions are mutually undecodable.
+        if isinstance(prec, bool):         # legacy ring16 bool (probes)
+            prec = 'bf16' if prec else 'f32'
         interp = _use_interpret()
         ndev = 1 if self.mesh is None else int(self.mesh.devices.size)
         assert b % ndev == 0, \
             f'batch {b} must divide the {ndev}-device mesh evenly'
         bl = b // ndev
-        bsub = self._pick_bsub(bl, ring16)
+        bsub = self._pick_bsub(bl, prec)
         if bsub_max is not None:
             bsub = min(bsub, bsub_max)
         assert bl % bsub == 0, (bl, bsub)
         b_out = bl // bsub
         fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b_out,
-                                     bsub=bsub, ring16=ring16,
+                                     bsub=bsub, prec=prec,
                                      interpret=interp)
         # Encode uses the chunk-parallel teacher-forced variant (no
         # sequential rANS simulation); its logits->CDF pipeline is the
@@ -215,7 +237,7 @@ class PallasCoder:
             fwd_enc = fwd
         else:
             fwd_enc, _ = pk.make_forward(latent_shape, self.kf, self.L,
-                                         b_out, bsub=bsub, ring16=ring16,
+                                         b_out, bsub=bsub, prec=prec,
                                          enc_parallel=True,
                                          interpret=interp)
         rev, _ = pk.make_reverse(latent_shape, b_out, bsub=bsub,
@@ -304,20 +326,20 @@ class PallasCoder:
             symbols = jnp.asarray(host_symbols)
         b = symbols.shape[0]
         latent_shape = tuple(int(d) for d in symbols.shape[1:])
-        ring16 = self._encode_ring16(b)
-        ks = self._kernels(latent_shape, b, ring16)
+        prec = self._encode_prec(b)
+        ks = self._kernels(latent_shape, b, prec)
         words, n_words, states, theo, crcs = ks.encode_dev(
             pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
         pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
         presel = (self._take_fn(ks.wrows, ks.bsub, pred)(words)
                   if pred else None)
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ring16, ks, pc_params, centers, symbols, presel, pred)
+                crcs, prec, ks, pc_params, centers, symbols, presel, pred)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ring16, ks, pc_params, centers, symbols, presel, pred) = handle
+         prec, ks, pc_params, centers, symbols, presel, pred) = handle
         theo, n_words, states, crcs = jax.device_get(
             (theo, n_words, states, crcs))
         crcs = np.asarray(crcs).reshape(b)
@@ -335,12 +357,12 @@ class PallasCoder:
                 print(f'*** pallas encode: stream exceeded the bsub={ks.bsub} '
                       f'word cap ({cap}); re-encoding with the full-capacity '
                       'bsub=1 kernel')
-                ks1 = self._kernels(latent_shape, b, ring16, bsub_max=1)
+                ks1 = self._kernels(latent_shape, b, prec, bsub_max=1)
                 words, n_words, states, theo, crcs = ks1.encode_dev(
                     pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
                 return self.encode_batch_finish(
                     (latent_shape, host_symbols, b, words, n_words, states,
-                     theo, crcs, ring16, ks1, pc_params, centers, symbols,
+                     theo, crcs, prec, ks1, pc_params, centers, symbols,
                      None, 0))
             raise ValueError(
                 f'stream exceeded the kernel word cap ({cap}) even at '
@@ -361,13 +383,13 @@ class PallasCoder:
             ks.wrows, pk._round_up(rneed_act + 2, 4))
         host_words = np.asarray(jax.device_get(sel)).reshape(
             b, rneed * 128).astype(np.uint32)
-        prec = 1 if ring16 else 0
+        prec_id = _PREC_ID[prec]
         results = []
         for i in range(b):
             stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
             bitstream = codec_lib.serialize_stream(
                 latent_shape, stream, states[i], int(crcs[i]),
-                impl_id=codec_lib.IMPL_PALLAS, prec=prec)
+                impl_id=codec_lib.IMPL_PALLAS, prec=prec_id)
             results.append(codec_lib.EncodeResult(
                 bitstream=bitstream, num_bits=len(bitstream) * 8,
                 theoretical_bits=float(theo[i]),
@@ -385,18 +407,20 @@ class PallasCoder:
         parsed = [codec_lib.deserialize_stream(bs) for bs in bitstreams]
         precs = {codec_lib.stream_prec(bs) for bs in bitstreams}
         assert len(precs) == 1, f'mixed stream precisions {precs}'
-        ring16 = precs.pop() == 1
+        pid = precs.pop()
+        assert pid in _PREC_FROM_ID, f'unknown stream precision byte {pid}'
+        prec = _PREC_FROM_ID[pid]
         latent_shape = parsed[0][0]
         assert all(p[0] == latent_shape for p in parsed), 'mixed shapes'
         b = len(parsed)
-        ks = self._kernels(latent_shape, b, ring16)
+        ks = self._kernels(latent_shape, b, prec)
         cap = ks.wrows * 128
         nmax = max([1] + [len(p_[1]) for p_ in parsed])
         if nmax > cap and ks.bsub > 1:
             # Stream longer than the reduced bsub>=2 buffer (e.g. encoded
             # through the full-capacity bsub=1 kernel): decode through
             # bsub=1 of the same precision — bitwise-identical math.
-            ks = self._kernels(latent_shape, b, ring16, bsub_max=1)
+            ks = self._kernels(latent_shape, b, prec, bsub_max=1)
             cap = ks.wrows * 128
         if nmax > cap:
             raise ValueError(

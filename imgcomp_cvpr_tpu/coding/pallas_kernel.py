@@ -558,7 +558,7 @@ def _quantize_cdf_kernel(logits, L):
 
 @functools.lru_cache(maxsize=8)
 def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
-                 bsub: int = 1, ring16: bool = False,
+                 bsub: int = 1, prec: str = 'f32',
                  enc_parallel: bool = False, interpret: bool = False):
     """Returns (fn, sched). fn(weights, tables, true_syms, streams,
     init_states, mode) -> (syms, freq_sel, start_sel), all (B, T, 1, CQB).
@@ -571,10 +571,18 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     by bsub. A full-row roll crosses segment boundaries only at positions
     that are dead cells in every image (the same argument that makes
     single-image wrap-around safe), so real cells stay bitwise independent
-    of bsub. ``ring16`` stores the activation rings in bfloat16 — required
-    to fit bsub=2 at Kodak scale in the ~16 MB VMEM; encode/decode share the
-    executable, so the rounding is identical in both directions and streams
-    remain self-consistent (container records the precision).
+    of bsub. ``prec`` selects the ACTIVATION RING storage precision:
+    'f32', 'bf16' (required to fit bsub=2 at Kodak scale in the ~16 MB
+    VMEM), or 'f8' (float8_e4m3 rings for the inner layers — halves ring
+    VMEM again, fitting bsub=8; measured rate cost +0.18% bpp on the
+    trained demo model, vs bf16's +0.06%). The q ring and the MXU
+    operands stay at bf16 under 'f8': q rows hold center VALUES, and
+    e4m3's coarse high-magnitude grid (step 0.25 in [2,4)) could collide
+    two learned centers — a model-dependent rate cliff the 1 MB saving
+    isn't worth. Encode/decode share the executable, so the rounding is
+    identical in both directions and streams remain self-consistent
+    (container records the precision; different precisions are mutually
+    undecodable).
 
     Teacher symbols and the three outputs use the CHUNK-MAJOR layout:
     global lane cq = si * (bsub * R) + i * R + r for rANS sub-iteration si,
@@ -606,7 +614,13 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     K1 = len(taps_l1) * Q_CH
     K_O = len(taps_lo) * kf
     assert L >= 2
-    rdt = jnp.bfloat16 if ring16 else jnp.float32
+    assert prec in ('f32', 'bf16', 'f8'), prec
+    # cdt: MXU-operand / X dtype. ring_dt: inner-ring (r1..r3) storage.
+    # r0_dt: q-ring storage (never below bf16 — see the docstring).
+    cdt = jnp.float32 if prec == 'f32' else jnp.bfloat16
+    ring_dt = {'f32': jnp.float32, 'bf16': jnp.bfloat16,
+               'f8': jnp.float8_e4m3fn}[prec]
+    r0_dt = cdt
     BR = bsub * R
     # Interpret mode (CPU tests) uses 1 wavefront step per grid iteration:
     # the 8-step unroll exists to amortize Mosaic pipeline overhead on TPU,
@@ -635,15 +649,20 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
 
         @pl.when(tb == 0)
         def _init():
-            r0[:] = jnp.zeros(r0.shape, rdt) + pad_ref[0].astype(rdt)
-            r1[:] = jnp.zeros(r1.shape, rdt) + k1_ref[:][:, 0:1].astype(rdt)
-            r2[:] = jnp.zeros(r2.shape, rdt) + k2_ref[:][:, 0:1].astype(rdt)
-            r3[:] = jnp.zeros(r3.shape, rdt) + k3_ref[:][:, 0:1].astype(rdt)
+            # Broadcast-fill in f32 and cast: Mosaic has no f8 arithmetic
+            # (only converts), and the f32 add is init-only.
+            r0[:] = jnp.zeros(r0.shape, r0_dt) + pad_ref[0].astype(r0_dt)
+            r1[:] = (jnp.zeros(r1.shape, jnp.float32)
+                     + k1_ref[:][:, 0:1]).astype(ring_dt)
+            r2[:] = (jnp.zeros(r2.shape, jnp.float32)
+                     + k2_ref[:][:, 0:1]).astype(ring_dt)
+            r3[:] = (jnp.zeros(r3.shape, jnp.float32)
+                     + k3_ref[:][:, 0:1]).astype(ring_dt)
             states_s[:] = inst_ref[0]
             for i in range(bsub):
                 gptr_s[i] = 0
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
-            X[:] = jnp.zeros(X.shape, rdt)
+            X[:] = jnp.zeros(X.shape, cdt)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
             symd_s[:] = jnp.zeros(symd_s.shape, jnp.int32)
 
@@ -700,14 +719,14 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 # Mosaic's dynamic_rotate only lowers for 32-bit lanes:
                 # bf16 ring rows are rolled through f32.
                 row = _roll(ring[rows[o]].astype(jnp.float32), -sh)
-                X[ci * ch:(ci + 1) * ch, :] = row.astype(rdt)
+                X[ci * ch:(ci + 1) * ch, :] = row.astype(cdt)
 
         def layer_dot(w_ref, b_ref, kdim):
             if ablate == 'nodot':
                 return (jnp.zeros((b_ref.shape[0], W_ALL), jnp.float32)
                         + b_ref[:])
             return jax.lax.dot_general(
-                w_ref[:].astype(rdt), X[0:kdim, :],
+                w_ref[:].astype(cdt), X[0:kdim, :],
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b_ref[:]
 
@@ -722,29 +741,38 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         fill_X(r0, 1, Q_CH)
         y1 = jax.nn.relu(layer_dot(w1_ref, b1_ref, K1))
         y1s[:] = y1
-        r1[slot] = y1.astype(rdt)
+        r1[slot] = y1.astype(ring_dt)
 
         # Layer 2.
         fill_X(r1, 2, kf)
         y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K_O))
-        r2[slot] = y2.astype(rdt)
+        r2[slot] = y2.astype(ring_dt)
 
         # Layer 3 (+ residual skip from this step's y1, no relu).
         fill_X(r2, 3, kf)
         skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])
         y3 = layer_dot(w3_ref, b3_ref, K_O) + skip
-        r3[slot] = y3.astype(rdt)
+        r3[slot] = y3.astype(ring_dt)
 
         # Layer 4: logits over the full batched plane (lanes outside each
         # image's latent band are junk, masked by the active maps). The
         # reference ReLUs its output layer too (ref: probclass.py:220-233).
         fill_X(r3, 4, kf)
         logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K_O))
+        # Chunk-major logits row, built ONCE, then CDF-quantized directly
+        # in the chunk-major layout: _quantize_cdf_kernel is fully
+        # column-wise, so permute-then-quantize is bitwise identical to
+        # quantize-then-permute — one 48-slice lane concat instead of two
+        # (freq AND cdf), and the quantization runs on the S*bsub*R
+        # active-chunk lanes instead of the full padded plane.
+        lg_cm = jnp.concatenate(
+            [logits[:, i * LSEG + base:i * LSEG + base + R]
+             for base in chunk_offs for i in range(bsub)], axis=1)
         if ablate == 'nocdf':   # timing probe only
-            freq = jnp.full(logits.shape, 1024, jnp.int32)
-            cdf = jnp.zeros(logits.shape, jnp.int32)
+            fq_cm = jnp.full(lg_cm.shape, 1024, jnp.int32)
+            cl_cm = jnp.zeros(lg_cm.shape, jnp.int32)
         else:
-            freq, cdf = _quantize_cdf_kernel(logits, L)  # (L, W_ALL) i32
+            fq_cm, cl_cm = _quantize_cdf_kernel(lg_cm, L)  # (L, ncm) i32
 
         mode = mode_ref[0]
         lidx = jax.lax.broadcasted_iota(jnp.int32, (L, BR), 0)
@@ -753,12 +781,6 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             # Teacher-forced encode: tables don't depend on the rANS state,
             # so every sub-iteration is independent — one vectorized pass
             # over the chunk-major row instead of the sequential loop.
-            fq_cm = jnp.concatenate(
-                [freq[:, i * LSEG + base:i * LSEG + base + R]
-                 for base in chunk_offs for i in range(bsub)], axis=1)
-            cl_cm = jnp.concatenate(
-                [cdf[:, i * LSEG + base:i * LSEG + base + R]
-                 for base in chunk_offs for i in range(bsub)], axis=1)
             ncm = fq_cm.shape[1]                       # S * bsub * R
             a_row = acm_ref[k, :, 0:ncm] != 0
             sym = jnp.where(a_row, true_ref[0, k, :, 0:ncm], 0)
@@ -779,14 +801,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             _q_write(k, table_ref, act_ref, pad_ref, vals, r0, slot)
             return
 
-        # Chunk-major freq/cdf row, built ONCE: the sequential loop slices
-        # it per chunk and the vectorized epilogue consumes it whole.
-        fq_cm = jnp.concatenate(
-            [freq[:, i * LSEG + base:i * LSEG + base + R]
-             for base in chunk_offs for i in range(bsub)], axis=1)
-        cl_cm = jnp.concatenate(
-            [cdf[:, i * LSEG + base:i * LSEG + base + R]
-             for base in chunk_offs for i in range(bsub)], axis=1)
+        # The sequential loop slices the chunk-major fq_cm/cl_cm per chunk
+        # and the vectorized epilogue consumes them whole.
         ncm = fq_cm.shape[1]                           # S * bsub * R
 
         # Sequential pass: ONLY the true rANS state chain (symbol recovery
@@ -908,7 +924,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pad = pad_ref[0]
         rect = jnp.where(act_ref[k] != 0, vals[:], pad)      # (1, W_ALL)
         r0[slot] = (jnp.zeros((Q_CH, W_ALL), jnp.float32) + _roll(
-            rect, table_ref[k, 0, _TBL_Q])).astype(rdt)
+            rect, table_ref[k, 0, _TBL_Q])).astype(r0_dt)
 
     TB = sched.table.shape[0] // KS
     grid = (B, TB)
@@ -946,11 +962,11 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                  jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32))
     X_K = max(K_O, K1)
     scratch = [
-        pltpu.VMEM((VR, Q_CH, W_ALL), rdt),              # r0
-        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r1
-        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r2
-        pltpu.VMEM((VR, kf, W_ALL), rdt),                # r3
-        pltpu.VMEM((X_K, W_ALL), rdt),                   # X
+        pltpu.VMEM((VR, Q_CH, W_ALL), r0_dt),            # r0
+        pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r1
+        pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r2
+        pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r3
+        pltpu.VMEM((X_K, W_ALL), cdt),                   # X
         pltpu.VMEM((kf, W_ALL), jnp.float32),            # y1s (f32: rolled)
         pltpu.VMEM((1, W_ALL), jnp.float32),             # vals
         pltpu.VMEM((1, BR), jnp.uint32),                 # states
@@ -987,7 +1003,12 @@ def kernel_stream_rows(sched, bsub: int = 1) -> int:
     if bsub == 1:
         return full
     n = int(np.prod(sched.latent_shape))
-    return min(full, _round_up(n // 2 + 2 * R, 128) // 128 + 2)
+    # bsub=8 tightens the cap to 3.2 bits/symbol (n//5 16-bit words) to
+    # fit 8 stream segments in VMEM; still above the ~2.7 bits/symbol of
+    # uniformly random L=6 symbols + lane flush, and the driver fallback
+    # covers anything beyond.
+    words = n // 5 if bsub >= 8 else n // 2
+    return min(full, _round_up(words + 2 * R, 128) // 128 + 2)
 
 
 def batched_layouts(sched, bsub: int):

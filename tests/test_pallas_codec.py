@@ -143,6 +143,36 @@ def test_bsub_batched_kernel_stream_invariance(monkeypatch):
     np.testing.assert_array_equal(dec1[0], syms[3].astype(np.int32))
 
 
+def test_f8_rings_bsub8_stream_invariance(monkeypatch):
+    """IMGCOMP_PALLAS_PREC=f8 selects f8_e4m3 inner rings (container prec
+    byte 2) with the 8-image kernel (opt-in: a measured throughput
+    negative on the v5e — see pallas_codec._encode_prec); streams must be
+    bitwise invariant across bsub within the f8 precision and round-trip
+    at any batch size."""
+    pc, cfg, params, centers, rng = _setup(seed=14)
+    syms = rng.randint(0, 6, size=(8, 4, 6, 7)).astype(np.int8)
+
+    from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
+
+    monkeypatch.setenv('IMGCOMP_PALLAS_PREC', 'f8')
+    res8 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    assert all(codec_lib.stream_prec(r.bitstream) == 2 for r in res8)
+    monkeypatch.setenv('IMGCOMP_PALLAS_BSUB', '1')
+    res1 = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    monkeypatch.delenv('IMGCOMP_PALLAS_BSUB')
+    monkeypatch.delenv('IMGCOMP_PALLAS_PREC')
+    for a, b in zip(res8, res1):
+        assert a.bitstream == b.bitstream
+
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    dec = codec.decode_batch(params, [r.bitstream for r in res8], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+    # odd-batch decode of an f8 stream routes by the container prec byte
+    dec3 = codec.decode_batch(params, [r.bitstream for r in res8[:3]],
+                              centers)
+    np.testing.assert_array_equal(dec3, syms[:3].astype(np.int32))
+
+
 def test_odd_batch_uses_f32_and_roundtrips():
     pc, cfg, params, centers, rng = _setup(seed=12)
     syms = rng.randint(0, 6, size=(3, 4, 6, 7)).astype(np.int8)
