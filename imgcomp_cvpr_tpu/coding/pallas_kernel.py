@@ -13,7 +13,7 @@ every cache cell is indexed by v = 25 d + 5 h + w; layer l writes one
 v-row per step (v = t + c_l, c_l = 31 (4 - l)); a row's valid cells
 form a (DW, J) packed band with rel_d = d - d_lo(v), j = h + 5 d - j0(v);
 tap (dz, dy, dx) of the next layer reads the band at a per-step scalar
-offset, from ring slot (t - 31 + 25 dz + 5 dy + dx) mod 38.
+offset, from ring slot (t - 31 + 25 dz + 5 dy + dx) mod 32.
 
 TPU layout: every band plane is stored TRANSPOSED as (channels, cells)
 with cells = rel_d * J_STORE + j in the LANE dimension, one global row
@@ -71,12 +71,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _WINDOW = [(dz, dy, dx) for dz in range(2) for dy in range(3) for dx in range(3)]
 _OFFS = [25 * dz + 5 * dy + dx for dz, dy, dx in _WINDOW]
+_CENTER_O = _WINDOW.index((1, 1, 1))   # the rel-step-0 center tap (off 31)
 VR = 32                    # ring slots: UNMASKED tap offsets span [-31, 0]
 # (masked taps — rel +1..+6 — are never read since the packed-taps change,
 # so 32 slots retain every row a real read can touch; offsets mod 32 make
 # aliased slots land only on never-read masked positions. Streams are
 # byte-identical to the former VR=38 rings — verified on CPU + TPU.)
-_C = (124, 93, 62, 31, 0)  # v-row constant per level (q, L1..L4)
+# v-row constant per level (q, L1..L4). The spacing is exactly 31: the
+# non-first center tap (off = 31) is rel-step 0, i.e. q(t-1) -> L1(t)
+# -> L2(t) -> L3(t) -> L4(t) -> q(t) is the schedule's critical CYCLE
+# — the chain cannot be destaggered without multiplying T (tried in
+# round 4: wider spacing breaks the boundary init exactly where real
+# cells appear, because c_l = 31(4-l) is the tight threshold below
+# which every ring row is the all-pad constant). The ILP win lives
+# elsewhere: only the CENTER tap is rel-0; the other 13 taps read
+# strictly older rows and are prefilled while the previous layer's MXU
+# dot runs (see _one_step).
+_C = (124, 93, 62, 31, 0)
 R = 32                     # persistent rANS lanes
 K_STEPS = 8                # wavefront steps per grid iteration (pipeline amortization)
 Q_CH = 8                   # sublane replication of the scalar q ring
@@ -644,7 +655,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                act_ref, acm_ref, true_ref, stream_ref, inst_ref,
                sym_out, fsel_out, ssel_out,
-               r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, symd_s):
+               r0, r1, r2, r3, XA, XB, y1s, vals, states_s, gptr_s,
+               symd_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
@@ -661,8 +673,9 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             states_s[:] = inst_ref[0]
             for i in range(bsub):
                 gptr_s[i] = 0
+            XA[:] = jnp.zeros(XA.shape, cdt)
+            XB[:] = jnp.zeros(XB.shape, cdt)
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
-            X[:] = jnp.zeros(X.shape, cdt)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
             symd_s[:] = jnp.zeros(symd_s.shape, jnp.int32)
 
@@ -686,15 +699,16 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                       w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                       act_ref, acm_ref, true_ref, stream_ref,
                       sym_out, fsel_out, ssel_out,
-                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s,
-                      symd_s)
+                      r0, r1, r2, r3, XA, XB, y1s, vals, states_s,
+                      gptr_s, symd_s)
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
                   act_ref, acm_ref, true_ref, stream_ref,
                   sym_out, fsel_out, ssel_out,
-                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, symd_s):
+                  r0, r1, r2, r3, XA, XB, y1s, vals, states_s, gptr_s,
+                  symd_s):
         t = tb * KS + k
         slot = jax.lax.rem(t, VR)
         if ablate in ('staticslot', 'staticboth'):  # timing probe only
@@ -702,16 +716,22 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         else:
             rows = [jax.lax.rem(t + 8 * VR - 31 + off, VR) for off in _OFFS]
 
-        def fill_X(ring, li, ch):
+        def fill_X(X, ring, li, ch, skip_center=False):
             # Dynamic lane-offset reads are not lowerable; a full-row
             # dynamic roll + static slice is (and wrapped/cross-segment
             # lanes only ever land on dead cells, which stay finite by
             # construction). Only unmasked taps exist in the packed X /
-            # weight layout (see make_forward).
+            # weight layout (see make_forward). With skip_center, the
+            # rel-step-0 center tap (window index 13, off 31) is left
+            # for inject_center
+            # — every remaining tap reads rows from PREVIOUS steps, so
+            # the fill is independent of the previous layer's dot.
             taps = taps_l1 if li == 1 else taps_lo
             if ablate == 'notaps':
                 taps = taps[:1]
             for ci, o in enumerate(taps):
+                if skip_center and o == _CENTER_O:
+                    continue
                 if ablate in ('staticshift', 'staticboth'):
                     sh = (o * 3) % 7  # timing probe: no scalar-table read
                 else:
@@ -721,7 +741,26 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 row = _roll(ring[rows[o]].astype(jnp.float32), -sh)
                 X[ci * ch:(ci + 1) * ch, :] = row.astype(cdt)
 
-        def layer_dot(w_ref, b_ref, kdim):
+        ci_center = (taps_lo.index(_CENTER_O)
+                     if _CENTER_O in taps_lo else -1)
+
+        def inject_center(X, yr, li):
+            # The center tap is the ONLY same-step operand: its source is
+            # the row the previous layer just wrote, so it comes straight
+            # from registers (yr = the ring-rounded row — the identical
+            # value the old ring read returned, keeping streams byte-
+            # identical) instead of forcing the whole 14-tap fill to wait
+            # on the dot.
+            if ablate == 'notaps' or ci_center < 0:
+                return
+            if ablate in ('staticshift', 'staticboth'):
+                sh = (_CENTER_O * 3) % 7
+            else:
+                sh = table_ref[k, 0, 18 * (li - 1) + _CENTER_O]
+            row = _roll(yr.astype(jnp.float32), -sh)
+            X[ci_center * kf:(ci_center + 1) * kf, :] = row.astype(cdt)
+
+        def layer_dot(X, w_ref, b_ref, kdim):
             if ablate == 'nodot':
                 return (jnp.zeros((b_ref.shape[0], W_ALL), jnp.float32)
                         + b_ref[:])
@@ -731,34 +770,50 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 preferred_element_type=jnp.float32) + b_ref[:]
 
         if ablate == 'noconv':
-            def fill_X(ring, li, ch):
+            def fill_X(X, ring, li, ch, skip_center=False):
                 pass
-            def layer_dot(w_ref, b_ref, kdim):
+            def inject_center(X, yr, li):
+                pass
+            def layer_dot(X, w_ref, b_ref, kdim):
                 return (jnp.zeros((b_ref.shape[0], W_ALL), jnp.float32)
                         + b_ref[:])
 
-        # Layer 1 (q ring rows carry Q_CH replicated sublanes).
-        fill_X(r0, 1, Q_CH)
-        y1 = jax.nn.relu(layer_dot(w1_ref, b1_ref, K1))
-        y1s[:] = y1
-        r1[slot] = y1.astype(ring_dt)
+        # Layer pipeline. The critical cycle q(t-1) -> L1 -> L2 -> L3 ->
+        # L4 -> q(t) runs through the rel-0 center taps and cannot be
+        # destaggered (see _C); instead, each layer's 13 strictly-older
+        # taps are prefilled into the ALTERNATE X buffer while the
+        # previous dot runs on the MXU, leaving only one register roll
+        # (inject_center) on the serial chain per layer.
 
-        # Layer 2.
-        fill_X(r1, 2, kf)
-        y2 = jax.nn.relu(layer_dot(w2_ref, b2_ref, K_O))
-        r2[slot] = y2.astype(ring_dt)
+        # Layer 1 (q ring rows carry Q_CH replicated sublanes; the first
+        # mask excludes the center tap, so the fill is complete).
+        fill_X(XA, r0, 1, Q_CH)
+        y1 = jax.nn.relu(layer_dot(XA, w1_ref, b1_ref, K1))
+
+        # Layer 2: 13-tap prefill overlaps L1's dot.
+        fill_X(XB, r1, 2, kf, skip_center=True)
+        y1s[:] = y1
+        yr1 = y1.astype(ring_dt)
+        r1[slot] = yr1
+        inject_center(XB, yr1, 2)
+        y2 = jax.nn.relu(layer_dot(XB, w2_ref, b2_ref, K_O))
 
         # Layer 3 (+ residual skip from this step's y1, no relu).
-        fill_X(r2, 3, kf)
+        fill_X(XA, r2, 3, kf, skip_center=True)
         skip = _roll(y1s[:], -table_ref[k, 0, _TBL_SKIP])
-        y3 = layer_dot(w3_ref, b3_ref, K_O) + skip
-        r3[slot] = y3.astype(ring_dt)
+        yr2 = y2.astype(ring_dt)
+        r2[slot] = yr2
+        inject_center(XA, yr2, 3)
+        y3 = layer_dot(XA, w3_ref, b3_ref, K_O) + skip
 
         # Layer 4: logits over the full batched plane (lanes outside each
         # image's latent band are junk, masked by the active maps). The
         # reference ReLUs its output layer too (ref: probclass.py:220-233).
-        fill_X(r3, 4, kf)
-        logits = jax.nn.relu(layer_dot(w4_ref, b4_ref, K_O))
+        fill_X(XB, r3, 4, kf, skip_center=True)
+        yr3 = y3.astype(ring_dt)
+        r3[slot] = yr3
+        inject_center(XB, yr3, 4)
+        logits = jax.nn.relu(layer_dot(XB, w4_ref, b4_ref, K_O))
         # Chunk-major logits row, built ONCE, then CDF-quantized directly
         # in the chunk-major layout: _quantize_cdf_kernel is fully
         # column-wise, so permute-then-quantize is bitwise identical to
@@ -966,7 +1021,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r1
         pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r2
         pltpu.VMEM((VR, kf, W_ALL), ring_dt),            # r3
-        pltpu.VMEM((X_K, W_ALL), cdt),                   # X
+        pltpu.VMEM((X_K, W_ALL), cdt),                   # XA (L1/L3)
+        pltpu.VMEM((X_K, W_ALL), cdt),                   # XB (L2/L4)
         pltpu.VMEM((kf, W_ALL), jnp.float32),            # y1s (f32: rolled)
         pltpu.VMEM((1, W_ALL), jnp.float32),             # vals
         pltpu.VMEM((1, BR), jnp.uint32),                 # states
@@ -1003,11 +1059,11 @@ def kernel_stream_rows(sched, bsub: int = 1) -> int:
     if bsub == 1:
         return full
     n = int(np.prod(sched.latent_shape))
-    # bsub=8 tightens the cap to 3.2 bits/symbol (n//5 16-bit words) to
-    # fit 8 stream segments in VMEM; still above the ~2.7 bits/symbol of
-    # uniformly random L=6 symbols + lane flush, and the driver fallback
-    # covers anything beyond.
-    words = n // 5 if bsub >= 8 else n // 2
+    # Caps: 4 bits/symbol (n//4 16-bit words) for bsub 2..4, 3.2 (n//5)
+    # for bsub=8's eight VMEM stream segments — both above the ~2.7
+    # bits/symbol of uniformly random L=6 symbols + lane flush, and the
+    # driver fallback covers anything beyond.
+    words = n // 5 if bsub >= 8 else n // 4
     return min(full, _round_up(words + 2 * R, 128) // 128 + 2)
 
 
