@@ -224,7 +224,17 @@ class PallasCoder:
             bsub = min(bsub, bsub_max)
         assert bl % bsub == 0, (bl, bsub)
         b_out = bl // bsub
-        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, b_out,
+        # XLA's scoped-VMEM accounting grows both with the pallas grid
+        # batch (a b_out=8 Kodak kernel overflows the 16 MB limit by
+        # ~1.5 MB where b_out=4 fits) and with the number of coexisting
+        # pallas instances in one executable (4 unrolled 4-group
+        # instances overflow identically). Large batches therefore run
+        # the 4-group kernel under jax.lax.map — ONE pallas instance in
+        # the graph, iterated by a loop, still a single device dispatch
+        # (the ~10 ms remote-dispatch overhead amortizes over the whole
+        # batch).
+        bi = next(d for d in (4, 2, 1) if b_out % d == 0)
+        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, bi,
                                      bsub=bsub, prec=prec,
                                      interpret=interp)
         # Encode uses the chunk-parallel teacher-forced variant (no
@@ -237,10 +247,10 @@ class PallasCoder:
             fwd_enc = fwd
         else:
             fwd_enc, _ = pk.make_forward(latent_shape, self.kf, self.L,
-                                         b_out, bsub=bsub, prec=prec,
+                                         bi, bsub=bsub, prec=prec,
                                          enc_parallel=True,
                                          interpret=interp)
-        rev, _ = pk.make_reverse(latent_shape, b_out, bsub=bsub,
+        rev, _ = pk.make_reverse(latent_shape, bi, bsub=bsub,
                                  interpret=interp)
         tables, _ = self._tables(latent_shape, bsub)
         (pack_true, unpack_syms, theoretical_bits, pad_stream,
@@ -248,7 +258,7 @@ class PallasCoder:
         wrows = pk.kernel_stream_rows(sched, bsub)
         n = int(np.prod(latent_shape))
 
-        def encode_local(pc_params, centers, symbols_flat):
+        def encode_local(rneed, pc_params, centers, symbols_flat):
             # symbols_flat: (bl, n) -> groups of bsub consecutive images.
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
@@ -256,13 +266,50 @@ class PallasCoder:
             streams = jnp.zeros((b_out, bsub * wrows, 128), jnp.uint32)
             states = jnp.full((b_out, 1, bsub * pk.R), rans.RANS_L,
                               jnp.uint32)
-            _, fsel, ssel = fwd_enc(weights, tables, true_syms, streams,
-                                    states, jnp.ones((1,), jnp.int32))
-            words, n_words, st = rev(tables, fsel, ssel)
-            return (words, n_words, st, theoretical_bits(fsel),
-                    checksum_syms(symbols_flat))
+            mode1 = jnp.ones((1,), jnp.int32)
 
-        encode_dev = self._shard_wrap(encode_local, n_in_batch=1, n_out=5)
+            def enc_group(args):
+                ts, st0, sb = args
+                _, fsel, ssel = fwd_enc(weights, tables, ts, sb, st0, mode1)
+                w, nw, st = rev(tables, fsel, ssel)
+                return w, nw, st, fsel
+
+            if b_out == bi:
+                words, n_words, st, fsel = enc_group(
+                    (true_syms, states, streams))
+            else:
+                nch = b_out // bi
+                stacked = (
+                    true_syms.reshape((nch, bi) + true_syms.shape[1:]),
+                    states.reshape((nch, bi) + states.shape[1:]),
+                    streams.reshape((nch, bi) + streams.shape[1:]))
+                w, nw, st, fsel = jax.lax.map(enc_group, stacked)
+                words = w.reshape((b_out,) + w.shape[2:])
+                n_words = nw.reshape((b_out,) + nw.shape[2:])
+                st = st.reshape((b_out,) + st.shape[2:])
+                fsel = fsel.reshape((b_out,) + fsel.shape[2:])
+            outs = (words, n_words, st, theoretical_bits(fsel),
+                    checksum_syms(symbols_flat))
+            if not rneed:
+                return outs
+            # Fused row-selection gather (the predicted-rneed fast path):
+            # every device call costs ~10 ms of remote-dispatch overhead
+            # on the axon link, so the gather rides the encode dispatch
+            # instead of being its own.
+            row_idx = jnp.asarray(np.concatenate(
+                [np.arange(i * wrows, i * wrows + rneed)
+                 for i in range(bsub)]))
+            sel = jnp.take(words, row_idx, axis=1).astype(jnp.uint16)
+            return outs + (sel,)
+
+        encode_cache = {}
+
+        def encode_dev(pc_params, centers, symbols_flat, rneed=0):
+            if rneed not in encode_cache:
+                encode_cache[rneed] = self._shard_wrap(
+                    functools.partial(encode_local, rneed),
+                    n_in_batch=1, n_out=5 + (1 if rneed else 0))
+            return encode_cache[rneed](pc_params, centers, symbols_flat)
 
         def decode_local(nbucket, pc_params, centers, words_bucket, states):
             # words_bucket: (bl, nbucket); states: (bl, 1, R) per image.
@@ -274,8 +321,23 @@ class PallasCoder:
             cqb = pk._round_up(sched.S * bsub * pk.R, 128)
             dummy_true = jnp.zeros((b_out, sched.table.shape[0], 1, cqb),
                                    jnp.int32)
-            syms, _, _ = fwd(weights, tables, dummy_true, streams, st,
-                             jnp.zeros((1,), jnp.int32))
+            mode0 = jnp.zeros((1,), jnp.int32)
+
+            def dec_group(args):
+                dt, sb, st0 = args
+                sy, _, _ = fwd(weights, tables, dt, sb, st0, mode0)
+                return sy
+
+            if b_out == bi:
+                syms = dec_group((dummy_true, streams, st))
+            else:
+                nch = b_out // bi
+                stacked = (
+                    dummy_true.reshape((nch, bi) + dummy_true.shape[1:]),
+                    streams.reshape((nch, bi) + streams.shape[1:]),
+                    st.reshape((nch, bi) + st.shape[1:]))
+                sy = jax.lax.map(dec_group, stacked)
+                syms = sy.reshape((b_out,) + sy.shape[2:])
             out = unpack_syms(syms)
             return out.reshape(bl, n), checksum_syms(out)
 
@@ -313,13 +375,14 @@ class PallasCoder:
         symbols never cross the host link: the container checksum is
         computed on device (codec.symbol_crc_device).
 
-        The stream-row selection gather is PRE-DISPATCHED here with a row
-        count predicted from the previous batch (finish() falls back to an
-        exact re-gather on underprediction). Dispatching it at finish time
-        would queue it behind whatever large kernel the caller's pipeline
-        submitted in between — measured 170 ms/batch of hidden queue wait
-        on the remote-dispatch link at Kodak B=16 — while at submit time
-        it runs right after this batch's encode kernel."""
+        The stream-row selection gather is FUSED into the encode dispatch
+        with a row count predicted from the previous batch (finish()
+        falls back to an exact re-gather on underprediction). Dispatching
+        it at finish time would queue it behind whatever large kernel the
+        caller's pipeline submitted in between — measured 170 ms/batch of
+        hidden queue wait on the remote-dispatch link at Kodak B=16 — and
+        even as its own submit-time dispatch it costs ~10 ms of per-call
+        remote overhead, so it rides the encode call itself."""
         host_symbols = None
         if not isinstance(symbols, jax.Array):
             host_symbols = np.asarray(symbols)
@@ -328,11 +391,14 @@ class PallasCoder:
         latent_shape = tuple(int(d) for d in symbols.shape[1:])
         prec = self._encode_prec(b)
         ks = self._kernels(latent_shape, b, prec)
-        words, n_words, states, theo, crcs = ks.encode_dev(
-            pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
         pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
-        presel = (self._take_fn(ks.wrows, ks.bsub, pred)(words)
-                  if pred else None)
+        outs = ks.encode_dev(pc_params, jnp.asarray(centers),
+                             symbols.reshape(b, -1), rneed=pred)
+        if pred:
+            (words, n_words, states, theo, crcs, presel) = outs
+        else:
+            words, n_words, states, theo, crcs = outs
+            presel = None
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
                 crcs, prec, ks, pc_params, centers, symbols, presel, pred)
 
