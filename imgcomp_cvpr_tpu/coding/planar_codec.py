@@ -76,7 +76,10 @@ class PlanarCoder:
         forced = os.environ.get('IMGCOMP_PLANAR_BSUB')
         if forced:
             return int(forced)
-        return 2 if bl % 2 == 0 else 1
+        for d in (4, 2):
+            if bl % d == 0:
+                return d
+        return 1
 
     # -- layouts --------------------------------------------------------------
 
@@ -147,7 +150,7 @@ class PlanarCoder:
         K, kf, L = self.K, self.kf, self.L
         grids = sched.grids
         T2_pad = sched.T2_pad
-        wrows = plk.plane_stream_rows(sched, bsub)
+        wrows = plk.plane_stream_rows(sched, bsub, self.L)
         HW = H * W
         pc = self.pc
         pc_config = self.pc_config
@@ -157,7 +160,7 @@ class PlanarCoder:
         fwd, _ = plk.make_plane_forward(latent_shape, K, kf, L, b_out,
                                         bsub=bsub, interpret=interp)
         rev, _ = plk.make_plane_reverse(latent_shape, K, b_out, bsub=bsub,
-                                        interpret=interp)
+                                        L=L, interpret=interp)
 
         def fold_weights(pc_params):
             params = pc_params['params']
@@ -407,6 +410,11 @@ class PlanarCoder:
         bsub, b_out_g, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         n = int(np.prod(latent_shape))
         nmax = max([1] + [len(p[1]) for p in parsed])
+        if nmax > wrows * 128:
+            raise ValueError(
+                f'planar stream length {nmax} exceeds the bsub={bsub} '
+                f'word cap ({wrows * 128}); decode with '
+                'IMGCOMP_PLANAR_BSUB=2 (full-capacity buffer)')
         # Bucketed used-row count: bounds recompiles of pad_stream while
         # keeping the host-link transfer proportional to the real streams.
         rows_b = min(wrows, _round_up(-(-nmax // 128) + 1, 8))

@@ -70,7 +70,7 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     K1 = t1 * Q_CH
     KD = tmax * kf
     X_K = max(K1, KD)
-    wrows = plane_stream_rows(sched, bsub)
+    wrows = plane_stream_rows(sched, bsub, L)
     KS = 1 if interpret else K_STEPS
     rans_impl = pk._rans_impl()
 
@@ -314,10 +314,20 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     return fn, sched
 
 
-def plane_stream_rows(sched, bsub: int) -> int:
-    """Whole-image stream rows resident in VMEM (full capacity; the
-    planar kernels cap bsub instead of the buffer)."""
-    return sched.wcap // 128 + 2
+def plane_stream_rows(sched, bsub: int, L: int = 0) -> int:
+    """Whole-image stream rows resident in VMEM. bsub <= 2 keeps the
+    full 16-bit/symbol capacity; bsub >= 4 caps at ceil(log2(L)) + 1
+    bits/symbol (above the max-entropy worst case + lane flush) so 4-8
+    stream segments fit the 16 MB VMEM — overflow raises loudly in the
+    driver (the kernels clamp row pointers, and the CRC would catch any
+    clamped corruption)."""
+    full = sched.wcap // 128 + 2
+    if bsub <= 2 or L <= 0:
+        return full
+    C, H, W = sched.latent_shape
+    bits = max(1, (L - 1).bit_length()) + 1
+    words = C * H * W * bits // 16
+    return min(full, _round_up(words + 2 * R, 128) // 128 + 2)
 
 
 # ---------------------------------------------------------------------------
@@ -328,13 +338,13 @@ def plane_stream_rows(sched, bsub: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
-                       bsub: int = 1, interpret: bool = False):
+                       bsub: int = 1, L: int = 0, interpret: bool = False):
     sched = planar.build_planar_schedule(latent_shape, K)
     C = latent_shape[0]
     BR = bsub * R
     CQB = _round_up(BR, 128)
     NROW = C * sched.T2_pad
-    wrows = plane_stream_rows(sched, bsub)
+    wrows = plane_stream_rows(sched, bsub, L)
     KS = 1 if interpret else K_STEPS
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
