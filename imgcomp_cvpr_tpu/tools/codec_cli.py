@@ -152,7 +152,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument('mode', choices=['compress', 'decompress'])
+    p.add_argument('mode', choices=['compress', 'decompress', 'roundtrip'])
     p.add_argument('input')
     p.add_argument('-o', '--output', required=True)
     p.add_argument('--log_dir', help='training log dir (configs + ckpts)')
@@ -174,6 +174,23 @@ def main(argv=None):
         bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
         print(f'{a.input} -> {a.output}: {len(blob)} bytes, '
               f'{bpp:.4f} bpp (file, incl. header)')
+    elif a.mode == 'roundtrip':
+        # image -> .icz file -> image with metrics: the per-image self-check
+        # the reference runs inside val.py --real_bpp (ref bit_counter.py:
+        # 13-74), as a one-command user tool. Decode integrity is CRC-
+        # gated; metrics quantify the lossy AE, not the (lossless) coder.
+        from PIL import Image
+        from ..ops import metrics as metrics_lib
+        with Image.open(a.input) as im:
+            img = np.asarray(im.convert('RGB'), np.uint8)
+        blob = model.compress(img)
+        with open(a.output, 'wb') as f:
+            f.write(blob)
+        out = model.decompress(blob)
+        bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
+        psnr = metrics_lib.psnr_np(img, out)
+        print(f'{a.input} -> {a.output} -> reconstructed: {len(blob)} bytes '
+              f'({bpp:.4f} bpp), decode CRC-verified, PSNR {psnr:.2f} dB')
     else:
         from PIL import Image
         with open(a.input, 'rb') as f:

@@ -159,3 +159,17 @@ def test_cli_main_npz_roundtrip(tiny_model, tmp_path):
     model = codec_cli.CodecModel(ae_config, pc_config, params, batch_stats)
     np.testing.assert_array_equal(
         out, model.decompress(model.compress(img)))
+
+
+def test_cli_roundtrip_mode(tiny_model, tmp_path, capsys):
+    ae_config, pc_config, params, batch_stats = tiny_model
+    npz = tmp_path / 'model.npz'
+    _save_npz(npz, params, batch_stats)
+    img = (np.random.RandomState(4).rand(24, 24, 3) * 255).astype(np.uint8)
+    src = str(tmp_path / 'rt.png')
+    icz = str(tmp_path / 'rt.icz')
+    Image.fromarray(img).save(src)
+    codec_cli.main(['roundtrip', src, '-o', icz, '--npz', str(npz),
+                    '--ae_config', 'tiny', '--pc_config', 'tiny_pc'])
+    out = capsys.readouterr().out
+    assert 'CRC-verified' in out and 'PSNR' in out
