@@ -27,7 +27,8 @@ import time
 import numpy as np
 
 BASELINE_MP_PER_S = 0.393216 / 550.0
-BATCH = 64   # big batches amortize the ~10-14 ms per-dispatch overhead
+BATCH = int(os.environ.get('IMGCOMP_BENCH_BATCH', '64'))
+             # big batches amortize the ~10-14 ms per-dispatch overhead
              # of the remote axon link (measured: B=16 -> 61 MP/s device,
              # B=32 -> 68; the kernel runs 4-group chunks under lax.map)
 ASSET = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -210,11 +210,13 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
     codec = None
     if flags.real_bpp:
         from ..coding import codec as codec_mod
-        # Intentionally unsharded: the real-bpp roundtrip runs one image at
-        # a time (B=1), so there is nothing to shard over the mesh's data
-        # axis; the codec itself would pad B=1 up to the device count and
-        # throw the extra work away.
-        codec = codec_mod.LatentCodec(eval_model.pc, eval_model.pc_config)
+        # The real-bpp roundtrip runs per shape BUCKET (the reference
+        # entropy-codes one image per ~550 s, ref bit_counter.py:13-74;
+        # we batch the whole bucket through one kernel dispatch). With a
+        # mesh the batch shards over the data axis (the codec pads
+        # indivisible batches to a device multiple itself).
+        codec = codec_mod.LatentCodec(eval_model.pc, eval_model.pc_config,
+                                      mesh=mesh)
 
     saver = checkpoint_lib.Saver(val_dirs.ckpt_dir)
     last_itr = missing[-1][0]
@@ -234,15 +236,28 @@ def validate(val_dirs: ValidationDirs, images_iterator: ImagesIterator,
             outs = eval_model.fetch_many(imgs, pad_info=pad_info,
                                          pad_batch_to=flags.eval_batch)
             num_pixels = pad_info[2] * pad_info[3]
-            for img_name, img, otp in zip(names, imgs, outs):
+            real_results = None
+            if flags.real_bpp:
+                # Whole-bucket entropy roundtrip in one batched dispatch
+                # (the reference codes one image per ~550 s, ref
+                # bit_counter.py:13-74), bit-exactness asserted batched.
+                centers = jax.device_get(
+                    eval_model.params['ae']['encoder']['centers'])
+                syms_batch = np.stack(
+                    [np.transpose(o['sym'], (2, 0, 1)) for o in outs]
+                ).astype(np.int8)                       # NHWC -> NCHW
+                pc_vars = {'params': eval_model.params['pc']}
+                real_results = codec.encode_batch(pc_vars, syms_batch,
+                                                  centers)
+                decoded = codec.decode_batch(
+                    pc_vars, [r.bitstream for r in real_results], centers)
+                np.testing.assert_array_equal(
+                    decoded, syms_batch.astype(np.int32))
+            for i, (img_name, img, otp) in enumerate(zip(names, imgs, outs)):
                 measures_writer.append(img_name, {k: float(otp[k])
                                                   for k in ('bpp', 'ms-ssim', 'psnr')})
-                if flags.real_bpp:
-                    centers = jax.device_get(
-                        eval_model.params['ae']['encoder']['centers'])
-                    syms_chw = np.transpose(otp['sym'], (2, 0, 1))  # NHWC -> CHW
-                    result = codec.roundtrip(
-                        {'params': eval_model.params['pc']}, syms_chw, centers)
+                if real_results is not None:
+                    result = real_results[i]
                     bpp_real = result.num_bits / num_pixels
                     bpp_theory = result.theoretical_bits / num_pixels
                     bpp_loss = float(otp['bpp'])

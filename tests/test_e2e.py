@@ -119,3 +119,11 @@ def test_train_then_validate(tmp_path, config_roots):
     validate_lib.validate(vd, it, validate_lib.OutputFlags())
     # saved output images exist
     assert os.path.isfile(os.path.join(vd.out_dir, 'imgs', 'img0.png'))
+
+    # --real_bpp: whole-bucket batched entropy roundtrip (bit-exactness
+    # asserted inside validate); fresh ValidationDirs so the ckpt is not
+    # already marked validated
+    vd_rb = ValidationDirs(ckpt_dir, log_root, 'valset_rb')
+    validate_lib.validate(vd_rb, it, validate_lib.OutputFlags(real_bpp=True))
+    rows_rb = list(MeasuresReader(vd_rb.out_dir).iter_metric('ms-ssim'))
+    assert len(rows_rb) == 2
