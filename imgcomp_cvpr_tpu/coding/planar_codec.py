@@ -71,13 +71,14 @@ class PlanarCoder:
             check_vma=False))
 
     @staticmethod
-    def _pick_bsub(bl: int) -> int:
+    def _pick_bsub(bl: int, bsub_max=None) -> int:
         import os
         forced = os.environ.get('IMGCOMP_PLANAR_BSUB')
         if forced:
-            return int(forced)
+            b = int(forced)
+            return min(b, bsub_max) if bsub_max else b
         for d in (4, 2):
-            if bl % d == 0:
+            if d <= (bsub_max or d) and bl % d == 0:
                 return d
         return 1
 
@@ -135,12 +136,12 @@ class PlanarCoder:
     # -- compiled pieces ------------------------------------------------------
 
     @functools.lru_cache(maxsize=8)
-    def _run_fns(self, latent_shape, b):
+    def _run_fns(self, latent_shape, b, bsub_max=None):
         interp = _use_interpret()
         ndev = 1 if self.mesh is None else int(self.mesh.devices.size)
         assert b % ndev == 0, (b, ndev)
         bl = b // ndev
-        bsub = self._pick_bsub(bl)
+        bsub = self._pick_bsub(bl, bsub_max)
         assert bl % bsub == 0, (bl, bsub)
         b_out = bl // bsub
         (sched, tables, idx_flat, inv_idx, full_table, full_acm, wts_img,
@@ -349,7 +350,12 @@ class PlanarCoder:
             symbols = jnp.asarray(host_symbols)
         b = symbols.shape[0]
         latent_shape = tuple(int(d) for d in symbols.shape[1:])
-        ks = self._run_fns(latent_shape, b)
+        return self._submit_with(pc_params, symbols, centers, latent_shape,
+                                 host_symbols, b, bsub_max=None)
+
+    def _submit_with(self, pc_params, symbols, centers, latent_shape,
+                     host_symbols, b, bsub_max):
+        ks = self._run_fns(latent_shape, b, bsub_max)
         bsub, b_out, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         centers_j = jnp.asarray(centers)
         streams0 = jnp.zeros((b // bsub, bsub * wrows, 128), jnp.uint32)
@@ -361,12 +367,12 @@ class PlanarCoder:
         words, n_words, states, theo = ks.rev_dev(fsel, ssel)
         crcs = ks.crc_dev(syms_flat)
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ks)
+                crcs, ks, pc_params, centers, symbols)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ks) = handle
+         ks, pc_params, centers, symbols) = handle
         bsub, wrows = ks.bsub, ks.wrows
         theo, n_words, states, crcs = jax.device_get(
             (theo, n_words, states, crcs))
@@ -375,8 +381,22 @@ class PlanarCoder:
         states = np.asarray(states).reshape(b, R)
         cap = wrows * 128
         if n_words.size and int(n_words.max()) > cap:
+            # The bsub>=4 kernel caps the VMEM stream buffer at
+            # ceil(log2 L)+1 bits/symbol; a pathological stream can
+            # exceed it. Re-encode through bsub<=2 (full 16-bit/symbol
+            # capacity, bitwise-identical streams — per-image math is
+            # segment-local), mirroring the K=3 driver's fallback.
+            if bsub > 2:
+                print(f'*** planar encode: stream exceeded the bsub={bsub} '
+                      f'word cap ({cap}); re-encoding at bsub<=2 '
+                      '(full-capacity buffer)')
+                return self.encode_batch_finish(self._submit_with(
+                    pc_params, symbols, centers, latent_shape,
+                    host_symbols, b, bsub_max=2))
             raise ValueError(
-                f'planar stream exceeded the word cap ({cap})')
+                f'planar stream exceeded the word cap ({cap}) even at '
+                f'bsub={bsub} — the symbol volume is pathologically '
+                'incompressible')
         wmax = int(n_words.max()) if n_words.size else 0
         rneed = min(wrows, max(1, -(-wmax // 128) + 1))
         row_idx = np.concatenate(
@@ -410,11 +430,16 @@ class PlanarCoder:
         bsub, b_out_g, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         n = int(np.prod(latent_shape))
         nmax = max([1] + [len(p[1]) for p in parsed])
+        if nmax > wrows * 128 and bsub > 2:
+            # Stream longer than the reduced bsub>=4 buffer (e.g. from
+            # the encode-side fallback): route to the full-capacity
+            # bsub<=2 kernels — bitwise-identical math.
+            ks = self._run_fns(latent_shape, b, bsub_max=2)
+            bsub, b_out_g, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         if nmax > wrows * 128:
             raise ValueError(
                 f'planar stream length {nmax} exceeds the bsub={bsub} '
-                f'word cap ({wrows * 128}); decode with '
-                'IMGCOMP_PLANAR_BSUB=2 (full-capacity buffer)')
+                f'word cap ({wrows * 128})')
         # Bucketed used-row count: bounds recompiles of pad_stream while
         # keeping the host-link transfer proportional to the real streams.
         rows_b = min(wrows, _round_up(-(-nmax // 128) + 1, 8))

@@ -318,9 +318,12 @@ def plane_stream_rows(sched, bsub: int, L: int = 0) -> int:
     """Whole-image stream rows resident in VMEM. bsub <= 2 keeps the
     full 16-bit/symbol capacity; bsub >= 4 caps at ceil(log2(L)) + 1
     bits/symbol (above the max-entropy worst case + lane flush) so 4-8
-    stream segments fit the 16 MB VMEM — overflow raises loudly in the
-    driver (the kernels clamp row pointers, and the CRC would catch any
-    clamped corruption)."""
+    stream segments fit the 16 MB VMEM. The driver checks real streams
+    against the cap — encode re-runs overflowing batches through the
+    full-capacity bsub<=2 kernels and decode routes over-cap streams
+    there likewise (planar_codec.py); the kernels clamp their row
+    pointers, so a pathological overflow corrupts (CRC-caught), never
+    crashes."""
     full = sched.wcap // 128 + 2
     if bsub <= 2 or L <= 0:
         return full

@@ -121,6 +121,45 @@ def test_sharded_planar_codec_matches_single_device():
     np.testing.assert_array_equal(out, syms8.astype(np.int32))
 
 
+def test_planar_word_cap_fallback(monkeypatch):
+    """A stream exceeding the bsub>=4 reduced VMEM cap re-encodes through
+    the full-capacity bsub<=2 kernels automatically, and decode routes
+    such streams there likewise (mirrors the K=3 driver's fallback).
+    The cap is starved via plane_stream_rows so ordinary random symbols
+    overflow it; the starved kernels clamp their row pointers, and the
+    re-encoded stream comes from a full-capacity kernel."""
+    import imgcomp_cvpr_tpu.coding.planar_kernel as plk_mod
+
+    def _clear():
+        plk_mod.make_plane_forward.cache_clear()
+        plk_mod.make_plane_reverse.cache_clear()
+
+    pc, pc_config, pc_params, centers, _ = _setup(5)
+    rng = np.random.RandomState(13)
+    syms = rng.randint(0, L, size=(4,) + SHAPE).astype(np.int8)
+    orig = plk_mod.plane_stream_rows
+    _clear()
+    monkeypatch.setattr(
+        plk_mod, 'plane_stream_rows',
+        lambda sched, bsub, L=0: orig(sched, bsub, 0) if bsub <= 2 else 2)
+    try:
+        codec = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+        enc = codec.encode_batch(pc_params, syms, centers)   # falls back
+        dec = codec.decode_batch(pc_params, [r.bitstream for r in enc],
+                                 centers)
+        np.testing.assert_array_equal(dec, syms.astype(np.int32))
+        # The streams must equal an unstarved bsub=2 encode's.
+        monkeypatch.setattr(plk_mod, 'plane_stream_rows', orig)
+        _clear()
+        monkeypatch.setenv('IMGCOMP_PLANAR_BSUB', '2')
+        c2 = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+        e2 = c2.encode_batch(pc_params, syms, centers)
+        for a, b in zip(enc, e2):
+            assert a.bitstream == b.bitstream
+    finally:
+        _clear()
+
+
 def test_auto_impl_routes_k5():
     pc, pc_config, pc_params, centers, syms = _setup(5)
     codec = codec_lib.LatentCodec(pc, pc_config, impl='auto')
