@@ -84,6 +84,22 @@ def test_pallas_c64():
     np.testing.assert_array_equal(dec, syms.astype(np.int32))
 
 
+def test_pallas_nondefault_L13():
+    """num_centers is a config knob (every shipped config uses 6, ref
+    ae_configs/base:21) — an odd L > 8 exercises the one-hot iota
+    bounds, CDF table sizing, and the bits(L) stream-row cap."""
+    pc, cfg, params, centers, rng = _setup(L=13, seed=11)
+    syms = rng.randint(0, 13, size=(2, 4, 6, 7)).astype(np.int8)
+    codec = codec_lib.LatentCodec(pc, cfg, impl='pallas')
+    res = codec.encode_batch(params, syms, centers)
+    dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+    # theory consistency against the 'direct' oracle at this L
+    td = codec_lib.LatentCodec(pc, cfg, impl='direct').encode_batch(
+        params, syms, centers)[0].theoretical_bits
+    assert abs(td - res[0].theoretical_bits) / td < 2e-3
+
+
 def test_container_self_routing():
     """A pallas-encoded stream decodes through a ring-configured codec and
     vice versa (container v4 impl id, VERDICT round-1 'format wart' fix)."""
