@@ -55,6 +55,9 @@ class PlanarCoder:
         self.kf = pc_config.arch_param__k
         self.L = pc.num_centers
         self.mesh = mesh
+        # Adaptive stream-row prediction for the submit-time fused row
+        # gather (mirrors PallasCoder._rneed_pred).
+        self._rneed_pred = {}
 
     def _shard_wrap(self, fn, n_rep, n_batch, n_out):
         """jit fn; with a mesh, shard_map it with the first n_rep args
@@ -301,19 +304,54 @@ class PlanarCoder:
 
         acm_flat = full_acm.reshape(1, C * T2_pad, CQB)
 
-        def rev_and_theo(fsel, ssel):
+        def crc_of(symbols_flat):
+            from . import codec as codec_lib
+            return codec_lib.symbol_crc_device(
+                symbols_flat.reshape(bl, -1).astype(jnp.uint32), wts_img)
+
+        def rev_local(rneed, fsel, ssel, symbols_flat):
+            # ONE dispatch for everything after the shared run executable:
+            # reverse rANS + theoretical bits + symbol CRC + (predicted)
+            # stream-row gather — every extra device call costs ~10 ms of
+            # remote-dispatch overhead (the K=3 driver's round-4 pattern).
+            # The shared `run` jit is untouched, so encode/decode
+            # bit-exactness is unaffected.
             words, n_words, st = rev(full_table, full_acm, fsel, ssel)
             f = jnp.maximum(fsel[:, :, 0, 0:BR].astype(jnp.float32), 1.0)
             bits = jnp.where(acm_flat[:, :, 0:BR] != 0,
                              -jnp.log2(f / rans.SCALE), 0.0)
             theo = jnp.sum(bits.reshape(b_out, C * T2_pad, bsub, R),
                            axis=(1, 3)).reshape(b_out * bsub)
-            return words, n_words, st, theo
+            outs = (words, n_words, st, theo, crc_of(symbols_flat))
+            if not rneed:
+                return outs
+            row_idx = jnp.asarray(np.concatenate(
+                [np.arange(i * wrows, i * wrows + rneed)
+                 for i in range(bsub)]))
+            sel = jnp.take(words, row_idx, axis=1).astype(jnp.uint16)
+            return outs + (sel,)
 
-        def crc_of(symbols_flat):
-            from . import codec as codec_lib
-            return codec_lib.symbol_crc_device(
-                symbols_flat.reshape(bl, -1).astype(jnp.uint32), wts_img)
+        rev_cache = {}
+
+        def rev_dev(fsel, ssel, symbols_flat, rneed=0):
+            if rneed not in rev_cache:
+                rev_cache[rneed] = self._shard_wrap(
+                    functools.partial(rev_local, rneed),
+                    n_rep=0, n_batch=3, n_out=5 + (1 if rneed else 0))
+            return rev_cache[rneed](fsel, ssel, symbols_flat)
+
+        take_cache = {}
+
+        def take_fn(rneed):
+            # Exact re-gather fallback on presel underprediction.
+            if rneed not in take_cache:
+                row_idx = jnp.asarray(np.concatenate(
+                    [np.arange(i * wrows, i * wrows + rneed)
+                     for i in range(bsub)]))
+                take_cache[rneed] = jax.jit(
+                    lambda w: jnp.take(w, row_idx, axis=1)
+                    .astype(jnp.uint16))
+            return take_cache[rneed]
 
         def unpack(syms_co):
             flat = syms_co.reshape(b_out, C, T2_pad * CQB)
@@ -334,11 +372,8 @@ class PlanarCoder:
             return full
 
         run_dev = self._shard_wrap(run, n_rep=3, n_batch=3, n_out=3)
-        rev_dev = self._shard_wrap(rev_and_theo, n_rep=0, n_batch=2,
-                                   n_out=4)
-        crc_dev = self._shard_wrap(crc_of, n_rep=0, n_batch=1, n_out=1)
         unpack_dev = self._shard_wrap(unpack, n_rep=0, n_batch=1, n_out=2)
-        return _Fns(run_dev, rev_dev, crc_dev, unpack_dev, pad_stream,
+        return _Fns(run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
                     sched, bsub, b_out, wrows, BR)
 
     # -- public API (mirrors PallasCoder) -------------------------------------
@@ -364,18 +399,30 @@ class PlanarCoder:
         _, fsel, ssel = ks.run_dev(pc_params, centers_j,
                                    jnp.ones((1,), jnp.int32), syms_flat,
                                    streams0, states0)
-        words, n_words, states, theo = ks.rev_dev(fsel, ssel)
-        crcs = ks.crc_dev(syms_flat)
+        pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
+        outs = ks.rev_dev(fsel, ssel, syms_flat, rneed=pred)
+        words, n_words, states, theo, crcs = outs[:5]
+        presel = outs[5] if pred else None
+        # Early D2H: the tunnel streams the results down while the caller
+        # keeps the device busy; the finish-time fetch finds them on host.
+        for a in (theo, n_words, states, crcs, presel):
+            if a is not None and hasattr(a, 'copy_to_host_async'):
+                a.copy_to_host_async()
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ks, pc_params, centers, symbols)
+                crcs, ks, pc_params, centers, symbols, presel, pred)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ks, pc_params, centers, symbols) = handle
+         ks, pc_params, centers, symbols, presel, pred) = handle
         bsub, wrows = ks.bsub, ks.wrows
-        theo, n_words, states, crcs = jax.device_get(
-            (theo, n_words, states, crcs))
+        # ONE fetch for the scalars AND the predicted stream rows (two
+        # sequential device_gets cost two round trips on the remote link).
+        fetched = jax.device_get(
+            (theo, n_words, states, crcs) +
+            (() if presel is None else (presel,)))
+        theo, n_words, states, crcs = fetched[:4]
+        presel_h = fetched[4] if presel is not None else None
         crcs = np.asarray(crcs).reshape(b)
         n_words = np.asarray(n_words).reshape(b)
         states = np.asarray(states).reshape(b, R)
@@ -398,11 +445,17 @@ class PlanarCoder:
                 f'bsub={bsub} — the symbol volume is pathologically '
                 'incompressible')
         wmax = int(n_words.max()) if n_words.size else 0
-        rneed = min(wrows, max(1, -(-wmax // 128) + 1))
-        row_idx = np.concatenate(
-            [np.arange(i * wrows, i * wrows + rneed) for i in range(bsub)])
-        sel = jnp.take(words, jnp.asarray(row_idx), axis=1).astype(jnp.uint16)
-        host_words = np.asarray(jax.device_get(sel)).reshape(
+        rneed_act = min(wrows, max(1, -(-wmax // 128) + 1))
+        if presel_h is not None and pred >= rneed_act:
+            sel_h, rneed = presel_h, pred   # pre-dispatched at submit time
+        else:
+            rneed = rneed_act
+            sel_h = jax.device_get(ks.take_fn(rneed)(words))
+        # Predict the next batch's rows: actual need + 2 rows of headroom,
+        # rounded (few distinct gather executables, fewer mispredicts).
+        self._rneed_pred[(latent_shape, wrows, bsub)] = min(
+            wrows, _round_up(rneed_act + 2, 4))
+        host_words = np.asarray(sel_h).reshape(
             b, rneed * 128).astype(np.uint32)
         results = []
         for i in range(b):
@@ -458,6 +511,8 @@ class PlanarCoder:
             dummy_syms, streams_dev,
             jnp.asarray(states.reshape(b // bsub, 1, bsub * R)))
         out, crcs = ks.unpack_dev(syms_co)
+        if hasattr(crcs, 'copy_to_host_async'):
+            crcs.copy_to_host_async()   # stream the CRCs down early
         return (latent_shape, parsed, out, crcs)
 
     def decode_batch_finish(self, handle, verify: bool = True,
@@ -485,11 +540,11 @@ class PlanarCoder:
 
 
 class _Fns:
-    def __init__(self, run_dev, rev_dev, crc_dev, unpack_dev, pad_stream,
+    def __init__(self, run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
                  sched, bsub, b_out, wrows, BR):
         self.run_dev = run_dev
         self.rev_dev = rev_dev
-        self.crc_dev = crc_dev
+        self.take_fn = take_fn
         self.unpack_dev = unpack_dev
         self.pad_stream = pad_stream
         self.sched = sched

@@ -160,6 +160,28 @@ def test_planar_word_cap_fallback(monkeypatch):
         _clear()
 
 
+def test_planar_presel_prediction_paths():
+    """Repeated planar encodes reuse the submit-time fused stream-row
+    gather; an underprediction falls back to an exact finish-time
+    re-gather. Streams must be identical either way (mirrors the K=3
+    test_presel_prediction_paths)."""
+    pc, pc_config, pc_params, centers, _ = _setup(5)
+    rng = np.random.RandomState(19)
+    syms = rng.randint(0, L, size=(2,) + SHAPE).astype(np.int8)
+    from imgcomp_cvpr_tpu.coding.planar_codec import PlanarCoder
+    coder = PlanarCoder(pc, pc_config)
+    first = coder.encode_batch(pc_params, syms, centers)
+    assert coder._rneed_pred                 # learned from batch 1
+    second = coder.encode_batch(pc_params, syms, centers)  # presel hit
+    for a, b in zip(first, second):
+        assert a.bitstream == b.bitstream
+    for key in coder._rneed_pred:            # force underprediction
+        coder._rneed_pred[key] = 1
+    third = coder.encode_batch(pc_params, syms, centers)
+    for a, b in zip(first, third):
+        assert a.bitstream == b.bitstream
+
+
 def test_auto_impl_routes_k5():
     pc, pc_config, pc_params, centers, syms = _setup(5)
     codec = codec_lib.LatentCodec(pc, pc_config, impl='auto')
