@@ -234,21 +234,37 @@ class PallasCoder:
         # (the ~10 ms remote-dispatch overhead amortizes over the whole
         # batch).
         bi = next(d for d in (4, 2, 1) if b_out % d == 0)
-        fwd, sched = pk.make_forward(latent_shape, self.kf, self.L, bi,
-                                     bsub=bsub, prec=prec,
-                                     interpret=interp)
+        _, sched = pk.make_forward(latent_shape, self.kf, self.L, bi,
+                                   bsub=bsub, prec=prec,
+                                   interpret=interp)
         # Encode uses the chunk-parallel teacher-forced variant (no
-        # sequential rANS simulation); its logits->CDF pipeline is the
-        # identical program, tested bit-compatible with the decode
-        # executable. IMGCOMP_PALLAS_ENCPAR=0 falls back to the shared
-        # executable.
+        # sequential rANS simulation, no decoded-symbol output, no stream
+        # VMEM block); decode uses the dec_only variant (no freq/cdf table
+        # outputs, no teacher-symbol input). Each variant's per-symbol
+        # math is the identical traced program as the shared executable's
+        # — stream/volume byte-identity is TPU-verified and CPU-pinned.
+        # IMGCOMP_PALLAS_ENCPAR=0 / IMGCOMP_PALLAS_DECSPLIT=0 fall back to
+        # the shared (mode-flag) executable; the shared kernel is only
+        # built (and compiled) when a fallback asks for it.
         import os as _os
-        if _os.environ.get('IMGCOMP_PALLAS_ENCPAR', '1') == '0':
-            fwd_enc = fwd
-        else:
+        encpar = _os.environ.get('IMGCOMP_PALLAS_ENCPAR', '1') != '0'
+        decsplit = _os.environ.get('IMGCOMP_PALLAS_DECSPLIT', '1') != '0'
+        if encpar:
             fwd_enc, _ = pk.make_forward(latent_shape, self.kf, self.L,
                                          bi, bsub=bsub, prec=prec,
                                          enc_parallel=True,
+                                         interpret=interp)
+        else:
+            fwd_enc, _ = pk.make_forward(latent_shape, self.kf, self.L, bi,
+                                         bsub=bsub, prec=prec,
+                                         interpret=interp)
+        if decsplit:
+            fwd_dec, _ = pk.make_forward(latent_shape, self.kf, self.L,
+                                         bi, bsub=bsub, prec=prec,
+                                         dec_only=True, interpret=interp)
+        else:
+            fwd_dec, _ = pk.make_forward(latent_shape, self.kf, self.L, bi,
+                                         bsub=bsub, prec=prec,
                                          interpret=interp)
         rev, _ = pk.make_reverse(latent_shape, bi, bsub=bsub,
                                  interpret=interp)
@@ -263,26 +279,27 @@ class PallasCoder:
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
             true_syms = pack_true(symbols_flat.reshape(b_out, bsub * n))
-            streams = jnp.zeros((b_out, bsub * wrows, 128), jnp.uint32)
-            states = jnp.full((b_out, 1, bsub * pk.R), rans.RANS_L,
-                              jnp.uint32)
+            # The stream buffer and init states are step-math constants at
+            # encode (zeros / RANS_L for every group), so they are closed
+            # over, not mapped; the split encode kernel only touches a
+            # (1, 1, 128) dummy stream block.
+            streams0 = (jnp.zeros((1, 1, 128), jnp.uint32) if encpar else
+                        jnp.zeros((bi, bsub * wrows, 128), jnp.uint32))
+            states0 = jnp.full((bi, 1, bsub * pk.R), rans.RANS_L,
+                               jnp.uint32)
             mode1 = jnp.ones((1,), jnp.int32)
 
-            def enc_group(args):
-                ts, st0, sb = args
-                _, fsel, ssel = fwd_enc(weights, tables, ts, sb, st0, mode1)
+            def enc_group(ts):
+                _, fsel, ssel = fwd_enc(weights, tables, ts, streams0,
+                                        states0, mode1)
                 w, nw, st = rev(tables, fsel, ssel)
                 return w, nw, st, fsel
 
             if b_out == bi:
-                words, n_words, st, fsel = enc_group(
-                    (true_syms, states, streams))
+                words, n_words, st, fsel = enc_group(true_syms)
             else:
                 nch = b_out // bi
-                stacked = (
-                    true_syms.reshape((nch, bi) + true_syms.shape[1:]),
-                    states.reshape((nch, bi) + states.shape[1:]),
-                    streams.reshape((nch, bi) + streams.shape[1:]))
+                stacked = true_syms.reshape((nch, bi) + true_syms.shape[1:])
                 w, nw, st, fsel = jax.lax.map(enc_group, stacked)
                 words = w.reshape((b_out,) + w.shape[2:])
                 n_words = nw.reshape((b_out,) + nw.shape[2:])
@@ -319,21 +336,26 @@ class PallasCoder:
                                  nbucket)
             st = states.reshape(b_out, 1, bsub * pk.R)
             cqb = pk._round_up(sched.S * bsub * pk.R, 128)
-            dummy_true = jnp.zeros((b_out, sched.table.shape[0], 1, cqb),
-                                   jnp.int32)
+            # The dec_only kernel has no teacher input — a (1, 1, 1, 128)
+            # dummy replaces the (b_out, T_pad, 1, CQB) zeros volume the
+            # shared kernel needs (which is a group-constant either way,
+            # so it is closed over, never mapped).
+            dummy_true = (jnp.zeros((1, 1, 1, 128), jnp.int32) if decsplit
+                          else jnp.zeros((bi, sched.table.shape[0], 1, cqb),
+                                         jnp.int32))
             mode0 = jnp.zeros((1,), jnp.int32)
 
             def dec_group(args):
-                dt, sb, st0 = args
-                sy, _, _ = fwd(weights, tables, dt, sb, st0, mode0)
+                sb, st0 = args
+                sy, _, _ = fwd_dec(weights, tables, dummy_true, sb, st0,
+                                   mode0)
                 return sy
 
             if b_out == bi:
-                syms = dec_group((dummy_true, streams, st))
+                syms = dec_group((streams, st))
             else:
                 nch = b_out // bi
                 stacked = (
-                    dummy_true.reshape((nch, bi) + dummy_true.shape[1:]),
                     streams.reshape((nch, bi) + streams.shape[1:]),
                     st.reshape((nch, bi) + st.shape[1:]))
                 sy = jax.lax.map(dec_group, stacked)
@@ -491,7 +513,13 @@ class PallasCoder:
         if nmax > cap:
             raise ValueError(
                 f'stream length {nmax} exceeds the kernel word cap {cap}')
-        nbucket = min(pk._round_up(nmax, 4096), cap)
+        # Upload-bucket granularity: coarse buckets mean few distinct
+        # decode executables (each nbucket is its own jit/pallas compile);
+        # fine buckets shave host->device stream-upload bytes on slow
+        # links. 4096 words (8 KB/image) keeps recompiles rare.
+        import os
+        gran = int(os.environ.get('IMGCOMP_PALLAS_NBUCKET_GRAN', '4096'))
+        nbucket = min(pk._round_up(nmax, gran), cap)
         packed = np.zeros((b, nbucket), np.uint16)
         states = np.zeros((b, 1, pk.R), np.uint32)
         for i, (_, stream_words, st, _crc) in enumerate(parsed):

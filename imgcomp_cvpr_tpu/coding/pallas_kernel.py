@@ -570,7 +570,8 @@ def _quantize_cdf_kernel(logits, L):
 @functools.lru_cache(maxsize=8)
 def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                  bsub: int = 1, prec: str = 'f32',
-                 enc_parallel: bool = False, interpret: bool = False):
+                 enc_parallel: bool = False, dec_only: bool = False,
+                 interpret: bool = False):
     """Returns (fn, sched). fn(weights, tables, true_syms, streams,
     init_states, mode) -> (syms, freq_sel, start_sel), all (B, T, 1, CQB).
 
@@ -604,8 +605,25 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     sequential sub-iteration loop is replaced by one vectorized epilogue
     over the full chunk-major row. The logits -> (freq, cdf) pipeline is
     the identical program as the decode kernel's; a TPU test asserts its
-    streams decode bit-exactly through the standard executable.
+    streams decode bit-exactly through the standard executable. The
+    variant also drops its two dead interfaces: the decoded-symbol output
+    (encode discards it) and the stream input's VMEM block (the
+    sequential rANS simulation that consumed it is gone) — both shrink to
+    (1, 1, 128)-ish dummies with one defensive init write.
+
+    ``dec_only`` builds the complementary DECODE-ONLY variant: the
+    freq/cdf table outputs (consumed only by the reverse encoder and the
+    theoretical-bits sum) shrink to dummies — their epilogue one-hot
+    sums, stores, and per-step output DMA drains disappear — and the
+    teacher-symbol input shrinks likewise (no per-step input DMA, and the
+    driver stops materializing a (B, T, 1, CQB) zeros volume per batch).
+    The per-symbol math (logits, CDF quantization, the sequential rANS
+    state chain) is the identical traced program as the shared kernel's;
+    stream/volume byte-identity vs the shared executable is TPU-verified
+    (tests pin the CPU-interpret twins; IMGCOMP_PALLAS_DECSPLIT=0 falls
+    back to the shared executable).
     """
+    assert not (enc_parallel and dec_only)
     sched = build_pallas_schedule(latent_shape)
     T, P, P_pad, S = sched.T, sched.P, sched.P_pad, sched.S
     DW, plane = sched.DW, sched.plane
@@ -678,6 +696,13 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
             symd_s[:] = jnp.zeros(symd_s.shape, jnp.int32)
+            # Dummy outputs of the split variants get one defensive write
+            # (their blocks are revisited constants; consumers ignore them).
+            if enc_parallel:
+                sym_out[0, 0, :, :] = jnp.zeros((1, 128), jnp.int32)
+            if dec_only:
+                fsel_out[0, 0, :, :] = jnp.zeros((1, 128), jnp.int32)
+                ssel_out[0, 0, :, :] = jnp.zeros((1, 128), jnp.int32)
 
         if ablate == 'empty':
             # Floor measurement: touch every streamed ref once, no compute.
@@ -845,7 +870,6 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             ssel = jnp.sum(jnp.where(ohs, cl_cm, 0), axis=0, keepdims=True)
             v_cm = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
                            axis=0, keepdims=True)
-            sym_out[0, k, :, 0:ncm] = sym
             fsel_out[0, k, :, 0:ncm] = fsel
             ssel_out[0, k, :, 0:ncm] = ssel
             for si, base in enumerate(chunk_offs):
@@ -950,18 +974,23 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         # the one-hot selections over integers and the single-center value
         # pick are exact, so streams are unchanged).
         a_row = acm_ref[k, :, 0:ncm] != 0
-        sym = jnp.where(mode == 1, true_ref[0, k, :, 0:ncm],
-                        symd_s[0:1, 0:ncm])
+        if dec_only:
+            # No teacher input exists in this variant; mode is always 0.
+            sym = symd_s[0:1, 0:ncm]
+        else:
+            sym = jnp.where(mode == 1, true_ref[0, k, :, 0:ncm],
+                            symd_s[0:1, 0:ncm])
         sym = jnp.where(a_row, sym, 0)
         lidx_cm = jax.lax.broadcasted_iota(jnp.int32, (L, ncm), 0)
         ohs = lidx_cm == sym
-        fsel = jnp.sum(jnp.where(ohs, fq_cm, 0), axis=0, keepdims=True)
-        ssel = jnp.sum(jnp.where(ohs, cl_cm, 0), axis=0, keepdims=True)
         v_cm = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
                        axis=0, keepdims=True)
         sym_out[0, k, :, 0:ncm] = sym
-        fsel_out[0, k, :, 0:ncm] = fsel
-        ssel_out[0, k, :, 0:ncm] = ssel
+        if not dec_only:
+            fsel = jnp.sum(jnp.where(ohs, fq_cm, 0), axis=0, keepdims=True)
+            ssel = jnp.sum(jnp.where(ohs, cl_cm, 0), axis=0, keepdims=True)
+            fsel_out[0, k, :, 0:ncm] = fsel
+            ssel_out[0, k, :, 0:ncm] = ssel
         for si, base in enumerate(chunk_offs):
             for i in range(bsub):
                 src = (si * bsub + i) * R
@@ -1002,19 +1031,28 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),                         # centers
         pl.BlockSpec((KS, 1, W_ALL), lambda b, t: (t, 0, 0)),     # active
         pl.BlockSpec((KS, 1, CQB), lambda b, t: (t, 0, 0)),       # act_cm
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),  # true
-        pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),  # stream
+        # Dead interfaces of the split variants shrink to revisited-constant
+        # dummy blocks: no per-step DMA, no VMEM block, no zeros volume.
+        (pl.BlockSpec((1, 1, 1, 128), lambda b, t: (0, 0, 0, 0)) if dec_only
+         else pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))),  # true
+        (pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0)) if enc_parallel
+         else pl.BlockSpec((1, bsub * wrows, 128),
+                           lambda b, t: (b, 0, 0))),                   # stream
         pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),              # states
     ]
-    out_specs = tuple(
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
-        for _ in range(3))
     T_pad = TB * KS
+    full_out = pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
+    dummy_out = pl.BlockSpec((1, 1, 1, 128), lambda b, t: (0, 0, 0, 0))
+    out_specs = (dummy_out if enc_parallel else full_out,
+                 dummy_out if dec_only else full_out,
+                 dummy_out if dec_only else full_out)
     # All-i32 outputs: freq/cdf values are < 2^17, and unsigned output
     # blocks fall off Mosaic's pipelined-DMA path (measured ~25 us/step).
-    out_shape = (jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32),
-                 jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32))
+    full_sh = jax.ShapeDtypeStruct((B, T_pad, 1, CQB), jnp.int32)
+    dummy_sh = jax.ShapeDtypeStruct((1, 1, 1, 128), jnp.int32)
+    out_shape = (dummy_sh if enc_parallel else full_sh,
+                 dummy_sh if dec_only else full_sh,
+                 dummy_sh if dec_only else full_sh)
     X_K = max(K_O, K1)
     scratch = [
         pltpu.VMEM((VR, Q_CH, W_ALL), r0_dt),            # r0

@@ -253,3 +253,21 @@ def test_presel_prediction_paths():
     dec = codec_lib.LatentCodec(pc, cfg, impl='pallas').decode_batch(
         params, [r.bitstream for r in second], centers)
     np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+
+def test_dec_only_matches_shared_executable(monkeypatch):
+    """The decode-only kernel variant (no freq/cdf table outputs, no
+    teacher-symbol input) must recover byte-identical symbol volumes from
+    the same streams as the shared mode-flag executable (its per-symbol
+    math is the same program; verified bit-exact on real TPU too)."""
+    pc, cfg, params, centers, rng = _setup(seed=23)
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+
+    from imgcomp_cvpr_tpu.coding.pallas_codec import PallasCoder
+    res = PallasCoder(pc, cfg).encode_batch(params, syms, centers)
+    streams = [r.bitstream for r in res]
+    dec_split = PallasCoder(pc, cfg).decode_batch(params, streams, centers)
+    monkeypatch.setenv('IMGCOMP_PALLAS_DECSPLIT', '0')
+    dec_shared = PallasCoder(pc, cfg).decode_batch(params, streams, centers)
+    np.testing.assert_array_equal(dec_split, dec_shared)
+    np.testing.assert_array_equal(dec_split, syms.astype(np.int32))
