@@ -80,7 +80,10 @@ class PlanarCoder:
         if forced:
             b = int(forced)
             return min(b, bsub_max) if bsub_max else b
-        for d in (4, 2):
+        # 8 segments fit scoped VMEM via the kernel's halved KS=4 step
+        # blocks (planar_kernel.make_plane_forward); streams stay bitwise
+        # identical across bsub (tested).
+        for d in (8, 4, 2):
             if d <= (bsub_max or d) and bl % d == 0:
                 return d
         return 1

@@ -71,7 +71,12 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     KD = tmax * kf
     X_K = max(K1, KD)
     wrows = plane_stream_rows(sched, bsub, L)
-    KS = 1 if interpret else K_STEPS
+    # bsub >= 8 halves the step block: the streamed bias-row / activation
+    # blocks scale with KS * W_ALL and dominate XLA's scoped-VMEM
+    # accounting at 8 lane segments (KS=8 overflowed the 16 MB budget by
+    # ~0.9 MB at Kodak scale). Streams are blocking-independent — the
+    # per-symbol math never sees KS (same argument as interpret's KS=1).
+    KS = 1 if interpret else (K_STEPS // 2 if bsub >= 8 else K_STEPS)
     rans_impl = pk._rans_impl()
 
     if interpret:

@@ -191,3 +191,21 @@ def test_auto_impl_routes_k5():
                           else 'direct')
     c2 = codec_lib.LatentCodec(pc, pc_config, impl='pallas')
     assert c2.impl == 'planar'
+
+
+def test_planar_bsub8_streams_match_bsub2(monkeypatch):
+    """bsub=8 (eight lane segments, halved KS=4 step blocks to fit scoped
+    VMEM) must emit byte-identical streams to bsub=2 — the per-symbol
+    math never sees the segment count or the step blocking."""
+    pc, pc_config, pc_params, centers, _ = _setup(5)
+    rng = np.random.RandomState(9)
+    syms8 = rng.randint(0, L, size=(8,) + SHAPE).astype(np.int8)
+    c8 = codec_lib.LatentCodec(pc, pc_config, impl='planar')   # bsub=8
+    e8 = c8.encode_batch(pc_params, syms8, centers)
+    monkeypatch.setenv('IMGCOMP_PLANAR_BSUB', '2')
+    c2 = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+    e2 = c2.encode_batch(pc_params, syms8, centers)
+    for a, b in zip(e8, e2):
+        assert a.bitstream == b.bitstream
+    dec = c2.decode_batch(pc_params, [r.bitstream for r in e8], centers)
+    np.testing.assert_array_equal(dec, syms8.astype(np.int32))
