@@ -122,10 +122,13 @@ def import_tf1_checkpoint(ckpt_path: str, ae_config, pc_config):
     return {'ae': ae_params, 'pc': pc_params}, batch_stats
 
 
-def export_tf1_checkpoint(params, batch_stats, ae_config, out_prefix: str) -> str:
-    """Inverse mapping (testing aid + migration tool): write our trees as a
-    TF checkpoint with the reference's variable names."""
-    import tensorflow as tf
+def export_tensors(params, batch_stats, ae_config) -> Dict[str, np.ndarray]:
+    """Our trees -> {tf1_variable_name: value} under the reference's exact
+    naming scheme. The full inverse mapping, shared by export_tf1_checkpoint
+    and the name-inventory fixture test (which pins this dict's keys+shapes
+    against an inventory derived independently from the reference source —
+    so a scope-name or shape mistake fails in CI, not the day the released
+    checkpoints become available)."""
 
     def getp(tree, path):
         node = tree
@@ -150,6 +153,15 @@ def export_tf1_checkpoint(params, batch_stats, ae_config, out_prefix: str) -> st
     for tf_scope, our_path in pc_name_pairs():
         tensors[f'{tf_scope}/weights'] = getp(params, ('pc',) + our_path + ('w',))
         tensors[f'{tf_scope}/biases'] = getp(params, ('pc',) + our_path + ('b',))
+    return tensors
+
+
+def export_tf1_checkpoint(params, batch_stats, ae_config, out_prefix: str) -> str:
+    """Inverse mapping (testing aid + migration tool): write our trees as a
+    TF checkpoint with the reference's variable names."""
+    import tensorflow as tf
+
+    tensors = export_tensors(params, batch_stats, ae_config)
 
     # Write with exact variable names via the raw SaveV2 op (tf.train.
     # Checkpoint would mangle the names).

@@ -119,3 +119,107 @@ def test_parity_harness_end_to_end(tmp_path):
         assert not ok3
     finally:
         config_mod.parse_spec = orig
+
+
+def _expected_tf1_inventory(ae_config, pc_config):
+    """The COMPLETE {tf1_var_name: shape} inventory of a released reference
+    checkpoint's model variables, derived independently from the reference
+    source (NOT via tf1_import's own tables — that's the point):
+
+    - every slim conv in _encode/_decode runs inside _batch_norm_scope, so
+      it carries BatchNorm {gamma, beta, moving_mean, moving_variance} over
+      its output channels and NO biases (ref autoencoder.py:206-233 within
+      :106-125's arg_scope; 'scale': True at :118 keeps gamma).
+    - conv2d weights are [kh,kw,in,out]; conv2d_transpose weights are
+      [kh,kw,out,in] (TF convention).
+    - residual_block -> scope/conv{1,2} (ref autoencoder.py:279-287);
+      encoder blocks nest as res_block_enc_{b}/enc_{b}_{i} (ref :224-228),
+      the final one is unnested (ref :231).
+    - to_bn outputs num_chan_bn + 1 heatmap channel (ref :236-238);
+      the decoder input has the heatmap channel masked away (ref :197-199).
+    - centers: autoencoder/encoder/centers, shape (L,) (ref quantizer.py:11-15
+      created inside the encoder scope, autoencoder.py:52-54).
+    - probclass: probclass3d/logits/... conv3d_<name>_mask/{weights,biases},
+      weights (K//2+1, K, K, in, out) (ref probclass.py:28,85,213-220,
+      236-261); the top-level output conv is NAMED 'conv2' (ref :220), the
+      residual block nests res1/conv{1,2} (ref :185-195).
+    """
+    n = 128                                   # arch_param_n (ref :211)
+    B = ae_config.arch_param_B
+    Cq = ae_config.num_chan_bn                # decoder input channels
+    Cb = Cq + (1 if ae_config.heatmap else 0)  # to_bn output channels
+    L = ae_config.num_centers
+    inv = {'autoencoder/encoder/centers': (L,)}
+
+    def bn_conv(scope, shape, nout):
+        inv[f'{scope}/weights'] = shape
+        for v in ('gamma', 'beta', 'moving_mean', 'moving_variance'):
+            inv[f'{scope}/BatchNorm/{v}'] = (nout,)
+
+    e = 'autoencoder/encoder'
+    bn_conv(f'{e}/h1', (5, 5, 3, n // 2), n // 2)
+    bn_conv(f'{e}/h2', (5, 5, n // 2, n), n)
+    for b in range(B):
+        for i in (1, 2, 3):
+            for j in (1, 2):
+                bn_conv(f'{e}/res_block_enc_{b}/enc_{b}_{i}/conv{j}',
+                        (3, 3, n, n), n)
+    for j in (1, 2):
+        bn_conv(f'{e}/res_block_enc_final/conv{j}', (3, 3, n, n), n)
+    bn_conv(f'{e}/to_bn', (5, 5, n, Cb), Cb)
+
+    d = 'autoencoder/decoder'
+    bn_conv(f'{d}/from_bn', (3, 3, n, Cq), n)        # transpose: [kh,kw,out,in]
+    for b in range(B):
+        for i in (1, 2, 3):
+            for j in (1, 2):
+                bn_conv(f'{d}/res_block_dec_{b}/dec_{b}_{i}/conv{j}',
+                        (3, 3, n, n), n)
+    for j in (1, 2):
+        bn_conv(f'{d}/dec_after_res/conv{j}', (3, 3, n, n), n)
+    bn_conv(f'{d}/h12', (5, 5, n // 2, n), n // 2)   # transpose
+    bn_conv(f'{d}/h13', (5, 5, 3, n // 2), 3)        # transpose
+
+    K, k = pc_config.kernel_size, pc_config.arch_param__k
+    kd = K // 2 + 1
+    p = 'probclass3d/logits'
+    inv[f'{p}/conv3d_conv0_mask/weights'] = (kd, K, K, 1, k)
+    inv[f'{p}/conv3d_conv0_mask/biases'] = (k,)
+    inv[f'{p}/res1/conv3d_conv1_mask/weights'] = (kd, K, K, k, k)
+    inv[f'{p}/res1/conv3d_conv1_mask/biases'] = (k,)
+    inv[f'{p}/res1/conv3d_conv2_mask/weights'] = (kd, K, K, k, k)
+    inv[f'{p}/res1/conv3d_conv2_mask/biases'] = (k,)
+    inv[f'{p}/conv3d_conv2_mask/weights'] = (kd, K, K, k, L)
+    inv[f'{p}/conv3d_conv2_mask/biases'] = (L,)
+    return inv
+
+
+@pytest.mark.parametrize('spec', ['cvpr/low', 'cvpr/med', 'cvpr/hi'])
+def test_tf1_name_inventory(spec):
+    """The mapper consumes EXACTLY the released checkpoints' variable set,
+    at the right shapes, for all three published configs (A/B/C,
+    ref README.md:47-49) — so parity is one command the day the real
+    checkpoints are available (VERDICT r3 #5)."""
+    ae_config, _ = config_lib.parse_spec(spec, 'ae')
+    pc_config, _ = config_lib.parse_spec('cvpr/res_shallow', 'pc')
+    expected = _expected_tf1_inventory(ae_config, pc_config)
+
+    ae = ae_lib.get_network_cls(ae_config)(ae_config)
+    pc = pc_lib.ProbClassifier(pc_config, ae_config.num_centers)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    ae_vars = ae.init(jax.random.PRNGKey(0), x, False)
+    pc_vars = pc.init(jax.random.PRNGKey(1),
+                      (1, 4, 4, ae_config.num_chan_bn))
+    params = {'ae': jax.device_get(ae_vars['params']),
+              'pc': jax.device_get(pc_vars['params'])}
+    batch_stats = jax.device_get(ae_vars['batch_stats'])
+
+    tensors = tf1_import.export_tensors(params, batch_stats, ae_config)
+
+    missing = sorted(set(expected) - set(tensors))
+    extra = sorted(set(tensors) - set(expected))
+    assert not missing, f'mapper does not consume/produce: {missing[:8]}'
+    assert not extra, f'mapper invents variables the ckpt lacks: {extra[:8]}'
+    for name, shape in expected.items():
+        assert tuple(tensors[name].shape) == shape, (
+            name, tensors[name].shape, shape)
