@@ -234,9 +234,9 @@ class PallasCoder:
         # (the ~10 ms remote-dispatch overhead amortizes over the whole
         # batch).
         bi = next(d for d in (4, 2, 1) if b_out % d == 0)
-        _, sched = pk.make_forward(latent_shape, self.kf, self.L, bi,
-                                   bsub=bsub, prec=prec,
-                                   interpret=interp)
+        # Schedule only — building the shared pallas_call closure here
+        # would occupy an lru_cache slot for a kernel no fast path uses.
+        sched = pk.build_pallas_schedule(latent_shape)
         # Encode uses the chunk-parallel teacher-forced variant (no
         # sequential rANS simulation, no decoded-symbol output, no stream
         # VMEM block); decode uses the dec_only variant (no freq/cdf table
@@ -421,6 +421,14 @@ class PallasCoder:
         else:
             words, n_words, states, theo, crcs = outs
             presel = None
+        # Early D2H: start streaming the scalars and the predicted stream
+        # rows down at submit time so the finish-time fetch finds them on
+        # host — on the remote link a blocking device_get serializes the
+        # transfer behind whatever the caller dispatched in between
+        # (mirrors planar_codec._submit_with).
+        for a in (theo, n_words, states, crcs, presel):
+            if a is not None and hasattr(a, 'copy_to_host_async'):
+                a.copy_to_host_async()
         return (latent_shape, host_symbols, b, words, n_words, states, theo,
                 crcs, prec, ks, pc_params, centers, symbols, presel, pred)
 
@@ -428,8 +436,13 @@ class PallasCoder:
         from . import codec as codec_lib
         (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
          prec, ks, pc_params, centers, symbols, presel, pred) = handle
-        theo, n_words, states, crcs = jax.device_get(
-            (theo, n_words, states, crcs))
+        # ONE fetch for the scalars AND the predicted stream rows (two
+        # sequential device_gets cost two round trips on the remote link).
+        fetched = jax.device_get(
+            (theo, n_words, states, crcs) +
+            (() if presel is None else (presel,)))
+        theo, n_words, states, crcs = fetched[:4]
+        presel_h = fetched[4] if presel is not None else None
         crcs = np.asarray(crcs).reshape(b)
         n_words = np.asarray(n_words).reshape(b)        # group-major == image
         states = np.asarray(states).reshape(b, pk.R)
@@ -460,16 +473,17 @@ class PallasCoder:
         # wire words (rANS renorm words are 16-bit: halves the transfer).
         wmax = int(n_words.max()) if n_words.size else 0
         rneed_act = min(ks.wrows, max(1, -(-wmax // 128) + 1))
-        if presel is not None and pred >= rneed_act:
-            sel, rneed = presel, pred     # pre-dispatched at submit time
+        if presel_h is not None and pred >= rneed_act:
+            sel_h, rneed = presel_h, pred   # pre-dispatched at submit time
         else:
             rneed = rneed_act
-            sel = self._take_fn(ks.wrows, ks.bsub, rneed)(words)
+            sel_h = jax.device_get(
+                self._take_fn(ks.wrows, ks.bsub, rneed)(words))
         # Predict the next batch's rows: actual need + 2 rows of headroom,
         # rounded up (few distinct gather executables, fewer mispredicts).
         self._rneed_pred[(latent_shape, ks.wrows, ks.bsub)] = min(
             ks.wrows, pk._round_up(rneed_act + 2, 4))
-        host_words = np.asarray(jax.device_get(sel)).reshape(
+        host_words = np.asarray(sel_h).reshape(
             b, rneed * 128).astype(np.uint32)
         prec_id = _PREC_ID[prec]
         results = []
@@ -518,7 +532,12 @@ class PallasCoder:
         # fine buckets shave host->device stream-upload bytes on slow
         # links. 4096 words (8 KB/image) keeps recompiles rare.
         import os
-        gran = int(os.environ.get('IMGCOMP_PALLAS_NBUCKET_GRAN', '4096'))
+        raw = os.environ.get('IMGCOMP_PALLAS_NBUCKET_GRAN', '4096')
+        try:
+            gran = max(128, int(raw))
+        except ValueError:
+            raise ValueError(
+                f'IMGCOMP_PALLAS_NBUCKET_GRAN={raw!r} is not an integer')
         nbucket = min(pk._round_up(nmax, gran), cap)
         packed = np.zeros((b, nbucket), np.uint16)
         states = np.zeros((b, 1, pk.R), np.uint32)
@@ -529,6 +548,8 @@ class PallasCoder:
         syms, crcs = ks.decode_dev(pc_params, jnp.asarray(centers),
                                    jnp.asarray(packed), jnp.asarray(states),
                                    nbucket=nbucket)
+        if hasattr(crcs, 'copy_to_host_async'):
+            crcs.copy_to_host_async()   # stream the CRCs down early
         return (latent_shape, parsed, syms, crcs)
 
     def decode_batch_finish(self, handle, verify: bool = True,

@@ -659,6 +659,12 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     KS = 1 if interpret else K_STEPS
 
     ablate = _ABLATE
+    # Ablation probes were written against the shared kernel's full-shaped
+    # interfaces; under the split variants the dummy in/outputs would make
+    # them silently probe different DMA behavior.
+    assert ablate == 'full' or not (enc_parallel or dec_only), \
+        'ablation probes are shared-kernel-only (set IMGCOMP_PALLAS_' \
+        'ENCPAR=0 / IMGCOMP_PALLAS_DECSPLIT=0)'
     rans_impl = _rans_impl()
     if interpret:
         def _roll(x, s, total=None):

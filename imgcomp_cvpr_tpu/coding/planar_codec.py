@@ -1,16 +1,24 @@
 """Driver for the planar (per-depth-plane) Pallas codec — the fast path
 for kernel_size != 3 (coding/planar.py documents the design).
 
-External contract matches pallas_codec.PallasCoder: encode is
-teacher-forced through the SAME executable decode uses, the reverse
+External contract matches pallas_codec.PallasCoder: the reverse
 interleaved-rANS runs on device, streams self-route via the container
-impl id. The full C-plane pipeline (XLA bias convs + skew packing + the
-per-plane pallas kernel, lax.scan over depth) is ONE jitted function
-shared verbatim by both directions — the bias convs run in XLA outside
-the pallas kernel, so sharing one executable (traced mode flag) is what
-guarantees the float logits -> integer CDF mapping is identical at
-encode and decode (two separately-jitted copies could legally fuse the
-convs differently).
+impl id. Two execution modes:
+
+- default (IMGCOMP_PLANAR_SPLIT=1): encode runs an encode-only kernel
+  variant (teacher forcing makes the rANS decode simulation dead code)
+  and decode a decode-only variant, each FUSED with its pre/post work
+  into ONE device dispatch. The surviving per-symbol math is the
+  identical traced program in both variants and the surrounding XLA
+  bias convs are the same code in both jits; stream byte-identity vs
+  the shared executable is CPU-pinned (oracle test in test_planar.py)
+  and TPU-verified (tools/ab_streams.py), and the per-batch container
+  CRC catches any executable divergence loudly at decode time.
+- IMGCOMP_PLANAR_SPLIT=0: encode is teacher-forced through the SAME
+  jitted lax.scan-over-depth executable decode uses (traced mode flag)
+  — bit-exactness by construction (two separately-jitted copies could
+  legally fuse the bias convs differently; the shared executable makes
+  that impossible rather than merely detectable).
 
 Replaces the reference's per-symbol sess.run + Python coder for its
 DEFAULT K=5 configuration (ref pc_configs/base:3, bit_counter.py:103-163;
@@ -164,8 +172,35 @@ class PlanarCoder:
         taps = sched.taps
         Q_CH = plk.Q_CH
 
-        fwd, _ = plk.make_plane_forward(latent_shape, K, kf, L, b_out,
-                                        bsub=bsub, interpret=interp)
+        # Enc/dec kernel variant split (the K=3 kernel's round-6 win,
+        # VERDICT r3 #2): the encode-only kernel drops the whole
+        # sequential rANS decode simulation (teacher forcing makes
+        # fsel/ssel independent of the state chain) plus its
+        # stream/state/symbol interfaces; the decode-only kernel drops
+        # the fsel/ssel outputs and the teacher input. With the split,
+        # encode and decode no longer share one executable — bit-
+        # exactness instead rests on (a) the per-symbol math being the
+        # identical traced program in both variants (split-vs-shared
+        # stream equality is CPU-pinned and TPU-verified via
+        # tools/ab_streams.py) and (b) the per-batch container CRC that
+        # catches any divergence loudly. It also frees both directions
+        # to fuse everything into ONE dispatch each (reverse rANS +
+        # theo + CRC + row gather ride the encode jit; stream padding +
+        # unpack + CRC ride the decode jit). IMGCOMP_PLANAR_SPLIT=0
+        # falls back to the shared-executable path.
+        import os as _os
+        split = _os.environ.get('IMGCOMP_PLANAR_SPLIT', '1') != '0'
+        if split:
+            fwd_enc, _ = plk.make_plane_forward(
+                latent_shape, K, kf, L, b_out, bsub=bsub,
+                enc_teacher=True, interpret=interp)
+            fwd_dec, _ = plk.make_plane_forward(
+                latent_shape, K, kf, L, b_out, bsub=bsub,
+                dec_only=True, interpret=interp)
+            fwd = None    # the shared kernel is never built on this path
+        else:
+            fwd, _ = plk.make_plane_forward(latent_shape, K, kf, L, b_out,
+                                            bsub=bsub, interpret=interp)
         rev, _ = plk.make_plane_reverse(latent_shape, K, b_out, bsub=bsub,
                                         L=L, interpret=interp)
 
@@ -305,6 +340,75 @@ class PlanarCoder:
 
             return co(syms_all), co(fsel_all), co(ssel_all)
 
+        def run_enc(pc_params, centers, symbols_flat):
+            """Teacher-forced encode scan through the enc-only kernel:
+            same bias convs / skew / history code as `run`, q planes
+            rebuilt from the TRUE symbols (identical values to the
+            decoded ones under teacher forcing). Returns (fsel, ssel)."""
+            (w1, w2, w3, w4), lows, bs = fold_weights(pc_params)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
+            pad_v = jnp.full((1,), pad_value, jnp.float32)
+            from .ring import _pad_constants
+            k1, k2, k3 = _pad_constants(pc, pc_params, pad_value)
+            weights = (pad_v, w1, w2, w3, w4, centers[:, None])
+
+            sy = symbols_flat.reshape(b_out, bsub, C, HW).astype(jnp.int32)
+            sy = jnp.transpose(sy, (2, 0, 1, 3)).reshape(C, b_out, bsub * HW)
+            padded = jnp.concatenate(
+                [sy, jnp.zeros((C, b_out, 1), jnp.int32)], axis=2)
+            true_planes = jnp.take(padded, idx_flat, axis=2).reshape(
+                C, b_out, T2_pad, 1, CQB)
+
+            def bc(v, grid_hw, ch):
+                return jnp.broadcast_to(
+                    v, (kd - 1, bl) + grid_hw + (ch,)) + 0.0
+
+            q_hist = jnp.full((kd - 1, bl) + grids[0] + (1,), pad_value,
+                              jnp.float32)
+            a1_hist = bc(k1, grids[1], kf)
+            a2_hist = bc(k2, grids[2], kf)
+            a3_hist = bc(k3, grids[3], kf)
+            dummy_stream = jnp.zeros((1, 1, 128), jnp.uint32)
+            dummy_state = jnp.zeros((1, 1, 128), jnp.uint32)
+            dummy_gptr = jnp.zeros((1, 1, 1), jnp.int32)
+            mode1 = jnp.ones((1,), jnp.int32)
+
+            def body(carry, true_plane):
+                q_hist, a1_hist, a2_hist, a3_hist = carry
+                bias_rows = (
+                    skew_bias(conv_lower(q_hist, lows[0]) + bs[0], 1),
+                    skew_bias(conv_lower(a1_hist, lows[1]) + bs[1], 2),
+                    skew_bias(conv_lower(a2_hist, lows[2]) + bs[2], 3),
+                    skew_bias(conv_lower(a3_hist, lows[3]) + bs[3], 4))
+                (_sy, fsel, ssel, a1r, a2r, a3r, _st, _gp) = fwd_enc(
+                    weights, tables, bias_rows, true_plane, dummy_stream,
+                    dummy_state, dummy_gptr, mode1)
+                sym_flat = jnp.take(
+                    true_plane.reshape(b_out, T2_pad * CQB), inv_idx,
+                    axis=1).reshape(bl, H, W)
+                qp = jnp.take(centers, jnp.clip(sym_flat, 0, L - 1))
+                q_plane = jnp.full((bl,) + grids[0], pad_value, jnp.float32)
+                q_plane = q_plane.at[:, reach:reach + H,
+                                     reach:reach + W].set(qp)[..., None]
+                carry = (
+                    jnp.concatenate([q_hist[1:], q_plane[None]], axis=0),
+                    jnp.concatenate([a1_hist[1:],
+                                     unskew_act(a1r, 1, grids[1])[None]], 0),
+                    jnp.concatenate([a2_hist[1:],
+                                     unskew_act(a2r, 2, grids[2])[None]], 0),
+                    jnp.concatenate([a3_hist[1:],
+                                     unskew_act(a3r, 3, grids[3])[None]], 0))
+                return carry, (fsel, ssel)
+
+            _, (fsel_all, ssel_all) = jax.lax.scan(
+                body, (q_hist, a1_hist, a2_hist, a3_hist), true_planes)
+
+            def co(x):
+                return jnp.transpose(x, (1, 0, 2, 3, 4)).reshape(
+                    b_out, C * T2_pad, 1, CQB)
+
+            return co(fsel_all), co(ssel_all)
+
         acm_flat = full_acm.reshape(1, C * T2_pad, CQB)
 
         def crc_of(symbols_flat):
@@ -363,6 +467,97 @@ class PlanarCoder:
             out = jnp.transpose(vols, (0, 2, 1, 3)).reshape(bl, C * HW)
             return out.astype(jnp.int8), crc_of(out)
 
+        # -- fused one-dispatch encode / decode (split mode only) ---------
+
+        def encode_full_local(rneed, pc_params, centers, symbols_flat):
+            fsel, ssel = run_enc(pc_params, centers, symbols_flat)
+            return rev_local(rneed, fsel, ssel, symbols_flat)
+
+        enc_full_cache = {}
+
+        def encode_full_dev(pc_params, centers, symbols_flat, rneed=0):
+            if rneed not in enc_full_cache:
+                enc_full_cache[rneed] = self._shard_wrap(
+                    functools.partial(encode_full_local, rneed),
+                    n_rep=2, n_batch=1, n_out=5 + (1 if rneed else 0))
+            return enc_full_cache[rneed](pc_params, centers, symbols_flat)
+
+        def decode_full_local(rows_b, pc_params, centers, words_u16,
+                              states_in):
+            """words_u16: (b_grp, bsub, rows_b, 128) wire words;
+            states_in: (b_grp, 1, BR). Stream padding + the decode scan +
+            unpack + CRC in ONE executable."""
+            bg = words_u16.shape[0]
+            streams = jnp.zeros((bg, bsub * wrows, 128), jnp.uint32)
+            for j in range(bsub):
+                streams = streams.at[:, j * wrows:j * wrows + rows_b].set(
+                    words_u16[:, j].astype(jnp.uint32))
+            (w1, w2, w3, w4), lows, bs = fold_weights(pc_params)
+            pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
+            pad_v = jnp.full((1,), pad_value, jnp.float32)
+            from .ring import _pad_constants
+            k1, k2, k3 = _pad_constants(pc, pc_params, pad_value)
+            weights = (pad_v, w1, w2, w3, w4, centers[:, None])
+
+            def bc(v, grid_hw, ch):
+                return jnp.broadcast_to(
+                    v, (kd - 1, bl) + grid_hw + (ch,)) + 0.0
+
+            q_hist = jnp.full((kd - 1, bl) + grids[0] + (1,), pad_value,
+                              jnp.float32)
+            a1_hist = bc(k1, grids[1], kf)
+            a2_hist = bc(k2, grids[2], kf)
+            a3_hist = bc(k3, grids[3], kf)
+            gptr0 = jnp.zeros((b_out, 1, bsub), jnp.int32)
+            dummy_true = jnp.zeros((1, 1, 1, 128), jnp.int32)
+            mode0 = jnp.zeros((1,), jnp.int32)
+
+            def body(carry, _):
+                q_hist, a1_hist, a2_hist, a3_hist, states, gptr = carry
+                bias_rows = (
+                    skew_bias(conv_lower(q_hist, lows[0]) + bs[0], 1),
+                    skew_bias(conv_lower(a1_hist, lows[1]) + bs[1], 2),
+                    skew_bias(conv_lower(a2_hist, lows[2]) + bs[2], 3),
+                    skew_bias(conv_lower(a3_hist, lows[3]) + bs[3], 4))
+                (syms, _f, _s, a1r, a2r, a3r, states, gptr) = fwd_dec(
+                    weights, tables, bias_rows, dummy_true, streams,
+                    states, gptr, mode0)
+                sym_flat = jnp.take(
+                    syms.reshape(b_out, T2_pad * CQB), inv_idx,
+                    axis=1).reshape(bl, H, W)
+                qp = jnp.take(centers, jnp.clip(sym_flat, 0, L - 1))
+                q_plane = jnp.full((bl,) + grids[0], pad_value, jnp.float32)
+                q_plane = q_plane.at[:, reach:reach + H,
+                                     reach:reach + W].set(qp)[..., None]
+                carry = (
+                    jnp.concatenate([q_hist[1:], q_plane[None]], axis=0),
+                    jnp.concatenate([a1_hist[1:],
+                                     unskew_act(a1r, 1, grids[1])[None]], 0),
+                    jnp.concatenate([a2_hist[1:],
+                                     unskew_act(a2r, 2, grids[2])[None]], 0),
+                    jnp.concatenate([a3_hist[1:],
+                                     unskew_act(a3r, 3, grids[3])[None]], 0),
+                    states, gptr)
+                return carry, syms
+
+            _, syms_all = jax.lax.scan(
+                body, (q_hist, a1_hist, a2_hist, a3_hist, states_in, gptr0),
+                None, length=C)
+            syms_co = jnp.transpose(syms_all, (1, 0, 2, 3, 4)).reshape(
+                b_out, C * T2_pad, 1, CQB)
+            return unpack(syms_co)
+
+        dec_full_cache = {}
+
+        def decode_full_dev(pc_params, centers, words_u16, states_in,
+                            rows_b):
+            if rows_b not in dec_full_cache:
+                dec_full_cache[rows_b] = self._shard_wrap(
+                    functools.partial(decode_full_local, rows_b),
+                    n_rep=2, n_batch=2, n_out=2)
+            return dec_full_cache[rows_b](pc_params, centers, words_u16,
+                                          states_in)
+
         @functools.partial(jax.jit, static_argnames=('rows_b',))
         def pad_stream(words_u16, rows_b):
             # (b_grp, bsub, rows_b, 128) u16 on the wire -> full-capacity
@@ -377,7 +572,9 @@ class PlanarCoder:
         run_dev = self._shard_wrap(run, n_rep=3, n_batch=3, n_out=3)
         unpack_dev = self._shard_wrap(unpack, n_rep=0, n_batch=1, n_out=2)
         return _Fns(run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
-                    sched, bsub, b_out, wrows, BR)
+                    sched, bsub, b_out, wrows, BR,
+                    encode_full_dev if split else None,
+                    decode_full_dev if split else None)
 
     # -- public API (mirrors PallasCoder) -------------------------------------
 
@@ -396,14 +593,20 @@ class PlanarCoder:
         ks = self._run_fns(latent_shape, b, bsub_max)
         bsub, b_out, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
         centers_j = jnp.asarray(centers)
-        streams0 = jnp.zeros((b // bsub, bsub * wrows, 128), jnp.uint32)
-        states0 = jnp.full((b // bsub, 1, BR), rans.RANS_L, jnp.uint32)
         syms_flat = symbols.reshape(b, -1)
-        _, fsel, ssel = ks.run_dev(pc_params, centers_j,
-                                   jnp.ones((1,), jnp.int32), syms_flat,
-                                   streams0, states0)
         pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
-        outs = ks.rev_dev(fsel, ssel, syms_flat, rneed=pred)
+        if ks.encode_full is not None:
+            # Split mode: the whole encode (scan + reverse rANS + theo +
+            # CRC + row gather) is ONE dispatch.
+            outs = ks.encode_full(pc_params, centers_j, syms_flat,
+                                  rneed=pred)
+        else:
+            streams0 = jnp.zeros((b // bsub, bsub * wrows, 128), jnp.uint32)
+            states0 = jnp.full((b // bsub, 1, BR), rans.RANS_L, jnp.uint32)
+            _, fsel, ssel = ks.run_dev(pc_params, centers_j,
+                                       jnp.ones((1,), jnp.int32), syms_flat,
+                                       streams0, states0)
+            outs = ks.rev_dev(fsel, ssel, syms_flat, rneed=pred)
         words, n_words, states, theo, crcs = outs[:5]
         presel = outs[5] if pred else None
         # Early D2H: the tunnel streams the results down while the caller
@@ -507,13 +710,20 @@ class PlanarCoder:
             states[g, 0, j, :] = st
             flat = packed[g, j].reshape(-1)
             flat[:len(stream_words)] = stream_words
-        dummy_syms = jnp.zeros((b, n), jnp.int8)
-        streams_dev = ks.pad_stream(jnp.asarray(packed), rows_b=rows_b)
-        syms_co, _, _ = ks.run_dev(
-            pc_params, jnp.asarray(centers), jnp.zeros((1,), jnp.int32),
-            dummy_syms, streams_dev,
-            jnp.asarray(states.reshape(b // bsub, 1, bsub * R)))
-        out, crcs = ks.unpack_dev(syms_co)
+        states_dev = jnp.asarray(states.reshape(b // bsub, 1, bsub * R))
+        if ks.decode_full is not None:
+            # Split mode: stream padding + decode scan + unpack + CRC in
+            # ONE dispatch (and no dummy teacher volume to materialize).
+            out, crcs = ks.decode_full(pc_params, jnp.asarray(centers),
+                                       jnp.asarray(packed), states_dev,
+                                       rows_b=rows_b)
+        else:
+            dummy_syms = jnp.zeros((b, n), jnp.int8)
+            streams_dev = ks.pad_stream(jnp.asarray(packed), rows_b=rows_b)
+            syms_co, _, _ = ks.run_dev(
+                pc_params, jnp.asarray(centers), jnp.zeros((1,), jnp.int32),
+                dummy_syms, streams_dev, states_dev)
+            out, crcs = ks.unpack_dev(syms_co)
         if hasattr(crcs, 'copy_to_host_async'):
             crcs.copy_to_host_async()   # stream the CRCs down early
         return (latent_shape, parsed, out, crcs)
@@ -544,7 +754,8 @@ class PlanarCoder:
 
 class _Fns:
     def __init__(self, run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
-                 sched, bsub, b_out, wrows, BR):
+                 sched, bsub, b_out, wrows, BR,
+                 encode_full=None, decode_full=None):
         self.run_dev = run_dev
         self.rev_dev = rev_dev
         self.take_fn = take_fn
@@ -555,3 +766,5 @@ class _Fns:
         self.b_out = b_out
         self.wrows = wrows
         self.BR = BR
+        self.encode_full = encode_full     # split mode: ONE-dispatch paths
+        self.decode_full = decode_full

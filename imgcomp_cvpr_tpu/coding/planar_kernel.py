@@ -46,6 +46,7 @@ def _round_up(x, m):
 @functools.lru_cache(maxsize=8)
 def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
                        L: int, B: int, bsub: int = 1,
+                       enc_teacher: bool = False, dec_only: bool = False,
                        interpret: bool = False):
     """Returns (fn, sched). fn(weights, tables, bias_rows, true_syms,
     streams, states, gptr, mode) -> (syms, fsel, ssel, act1, act2, act3,
@@ -55,7 +56,25 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     packed (taps*cin, cout); biases and lower-slice contributions arrive
     in bias_rows (4 arrays (T2_pad, ch, W_ALL) in skewed row layout,
     pre-shifted by CTR*l). true_syms/outputs use the rolled chunk layout
-    (lane i*R + r = band cell h_lo + r of image i)."""
+    (lane i*R + r = band cell h_lo + r of image i).
+
+    ``enc_teacher`` builds the ENCODE-ONLY variant: teacher forcing makes
+    fsel/ssel/vals depend only on the true symbols, so the whole
+    sequential rANS decode simulation (slot lookup, symbol search, word
+    gathers, state chain) disappears, along with the decoded-symbol
+    output and the stream/states/gptr interfaces (dummy blocks, one
+    defensive init write — the K=3 kernel's enc_parallel pattern,
+    pallas_kernel.py make_forward).
+
+    ``dec_only`` builds the complementary DECODE-ONLY variant: the
+    freq/cdf table outputs (consumed only by the reverse encoder) and
+    the teacher-symbol input shrink to dummies. In both variants the
+    surviving per-symbol math is the identical traced program as the
+    shared kernel's (same masking, same one-hot sums, same ring writes),
+    so streams and decoded volumes stay byte-identical — CPU-pinned by
+    the split-vs-shared oracle test and TPU-verified via
+    tools/ab_streams.py."""
+    assert not (enc_teacher and dec_only)
     sched = planar.build_planar_schedule(latent_shape, K)
     BH, CTR, VR = sched.BH, sched.CTR, sched.VR
     reach = planar.geometry(K)[1]
@@ -107,9 +126,18 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
             X[:] = jnp.zeros(X.shape, jnp.float32)
             vals[:] = jnp.zeros(vals.shape, jnp.float32)
             y1s[:] = jnp.zeros(y1s.shape, jnp.float32)
-            states_s[:] = inst_ref[0]
-            for i in range(bsub):
-                gptr_s[i] = gin_ref[0, 0, i]
+            if enc_teacher:
+                # Dead interfaces: one defensive write each.
+                sym_out[0, 0] = jnp.zeros((1, 128), jnp.int32)
+                st_out[0] = jnp.zeros((1, 128), jnp.uint32)
+                gout_ref[0, 0, 0] = 0
+            else:
+                states_s[:] = inst_ref[0]
+                for i in range(bsub):
+                    gptr_s[i] = gin_ref[0, 0, i]
+            if dec_only:
+                fsel_out[0, 0] = jnp.zeros((1, 128), jnp.int32)
+                ssel_out[0, 0] = jnp.zeros((1, 128), jnp.int32)
 
         for k in range(KS):
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
@@ -119,10 +147,11 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
                       sym_out, fsel_out, ssel_out, a1_out, a2_out, a3_out,
                       r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
 
-        st_out[0] = states_s[:]
-        for i in range(bsub):
-            # SMEM output: Mosaic only lowers SCALAR stores to SMEM.
-            gout_ref[0, 0, i] = gptr_s[i]
+        if not enc_teacher:
+            st_out[0] = states_s[:]
+            for i in range(bsub):
+                # SMEM output: Mosaic only lowers SCALAR stores to SMEM.
+                gout_ref[0, 0, i] = gptr_s[i]
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, w2_ref, w3_ref, w4_ref, centers_ref,
@@ -189,52 +218,63 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
             fq = img_cat(freq)
             cl = img_cat(cdf)
             a = acm_ref[k, :, 0:BR] != 0
-            st = states_s[:]
-            slot_u = st & jnp.uint32(rans.SCALE - 1)
-            slot_i = slot_u.astype(jnp.int32)
-            symd = jnp.sum((cl <= slot_i).astype(jnp.int32),
-                           axis=0, keepdims=True) - 1
-            ohd = lidx == symd
-            fd = jnp.sum(jnp.where(ohd, fq, 0), axis=0, keepdims=True)
-            sd = jnp.sum(jnp.where(ohd, cl, 0), axis=0, keepdims=True)
-            x = (fd.astype(jnp.uint32) * (st >> rans.SCALE_BITS)
-                 + slot_u - sd.astype(jnp.uint32))
-            need = a & (x < jnp.uint32(rans.RANS_L))
-            ni = need.astype(jnp.int32)
-            rank = pk._excl_rank(ni, bsub)
-            wparts = []
-            for i in range(bsub):
-                gp = gptr_s[i]
-                grow = jnp.minimum(gp // 128, wrows - 2)
-                goff = gp - grow * 128
-                rbase = i * wrows
-                row0 = stream_ref[0, pl.ds(rbase + grow, 1),
-                                  :].astype(jnp.int32)
-                row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
-                                  :].astype(jnp.int32)
-                pos = jnp.where(need[:, i * R:(i + 1) * R],
-                                goff + rank[:, i * R:(i + 1) * R], -1)
-                wparts.append(pk._gather_words(row0, row1, pos))
-                gptr_s[i] = gp + jnp.sum(ni[:, i * R:(i + 1) * R])
-            wsel = (wparts[0] if bsub == 1
-                    else jnp.concatenate(wparts, axis=1))
-            x = jnp.where(need,
-                          (x << rans.WORD_BITS) | wsel.astype(jnp.uint32), x)
-            states_s[:] = jnp.where(a, x, st)
+            if not enc_teacher:
+                # Sequential rANS decode chain — dead under teacher
+                # forcing (the selected tables depend only on sym_true).
+                st = states_s[:]
+                slot_u = st & jnp.uint32(rans.SCALE - 1)
+                slot_i = slot_u.astype(jnp.int32)
+                symd = jnp.sum((cl <= slot_i).astype(jnp.int32),
+                               axis=0, keepdims=True) - 1
+                ohd = lidx == symd
+                fd = jnp.sum(jnp.where(ohd, fq, 0), axis=0, keepdims=True)
+                sd = jnp.sum(jnp.where(ohd, cl, 0), axis=0, keepdims=True)
+                x = (fd.astype(jnp.uint32) * (st >> rans.SCALE_BITS)
+                     + slot_u - sd.astype(jnp.uint32))
+                need = a & (x < jnp.uint32(rans.RANS_L))
+                ni = need.astype(jnp.int32)
+                rank = pk._excl_rank(ni, bsub)
+                wparts = []
+                for i in range(bsub):
+                    gp = gptr_s[i]
+                    grow = jnp.minimum(gp // 128, wrows - 2)
+                    goff = gp - grow * 128
+                    rbase = i * wrows
+                    row0 = stream_ref[0, pl.ds(rbase + grow, 1),
+                                      :].astype(jnp.int32)
+                    row1 = stream_ref[0, pl.ds(rbase + grow + 1, 1),
+                                      :].astype(jnp.int32)
+                    pos = jnp.where(need[:, i * R:(i + 1) * R],
+                                    goff + rank[:, i * R:(i + 1) * R], -1)
+                    wparts.append(pk._gather_words(row0, row1, pos))
+                    gptr_s[i] = gp + jnp.sum(ni[:, i * R:(i + 1) * R])
+                wsel = (wparts[0] if bsub == 1
+                        else jnp.concatenate(wparts, axis=1))
+                x = jnp.where(need,
+                              (x << rans.WORD_BITS) | wsel.astype(jnp.uint32),
+                              x)
+                states_s[:] = jnp.where(a, x, st)
 
-            sym_true = true_ref[0, k, :, 0:BR]
-            sym = jnp.where(mode == 1, sym_true, symd)
+            if enc_teacher:
+                sym = true_ref[0, k, :, 0:BR]
+            elif dec_only:
+                sym = symd
+            else:
+                sym_true = true_ref[0, k, :, 0:BR]
+                sym = jnp.where(mode == 1, sym_true, symd)
             sym = jnp.where(a, sym, 0)
             ohs = lidx == sym
-            fsel = jnp.sum(jnp.where(ohs, fq, 0), axis=0, keepdims=True)
-            ssel = jnp.sum(jnp.where(ohs, cl, 0), axis=0, keepdims=True)
+            if not dec_only:
+                fsel = jnp.sum(jnp.where(ohs, fq, 0), axis=0, keepdims=True)
+                ssel = jnp.sum(jnp.where(ohs, cl, 0), axis=0, keepdims=True)
+                fsel_out[0, k, :, 0:BR] = fsel
+                ssel_out[0, k, :, 0:BR] = ssel
             v = jnp.sum(jnp.where(ohs, centers_ref[:], 0.0),
                         axis=0, keepdims=True)
             for i in range(bsub):
                 vals[:, i * LSEG:i * LSEG + R] = v[:, i * R:(i + 1) * R]
-            sym_out[0, k, :, 0:BR] = sym
-            fsel_out[0, k, :, 0:BR] = fsel
-            ssel_out[0, k, :, 0:BR] = ssel
+            if not enc_teacher:
+                sym_out[0, k, :, 0:BR] = sym
 
         # Q-row write: v_0 = t; latent band cells (rolled chunk coords)
         # land at lane h0 = h + reach => unroll by h_lo + reach, pad
@@ -247,13 +287,48 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
 
     TB = T2_pad // KS
     grid = (B, TB)
+    # Dead interfaces under the split variants shrink to one small block
+    # with a constant index map (the K=3 kernel's dummy pattern): no
+    # per-step DMA, near-zero VMEM.
+    if enc_teacher:
+        gin_spec = pl.BlockSpec((1, 1, 1), lambda b, t: (0, 0, 0),
+                                memory_space=pltpu.SMEM)
+        stream_spec = pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0))
+        inst_spec = pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0))
+        sym_spec = pl.BlockSpec((1, 1, 1, 128), lambda b, t: (0, 0, 0, 0))
+        sym_shape = jax.ShapeDtypeStruct((1, 1, 1, 128), jnp.int32)
+        st_spec = pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0))
+        st_shape = jax.ShapeDtypeStruct((1, 1, 128), jnp.uint32)
+        gout_spec = pl.BlockSpec((1, 1, 1), lambda b, t: (0, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        gout_shape = jax.ShapeDtypeStruct((1, 1, 1), jnp.int32)
+    else:
+        gin_spec = pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.SMEM)
+        stream_spec = pl.BlockSpec((1, bsub * wrows, 128),
+                                   lambda b, t: (b, 0, 0))
+        inst_spec = pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0))
+        sym_spec = pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
+        sym_shape = jax.ShapeDtypeStruct((B, T2_pad, 1, CQB), jnp.int32)
+        st_spec = pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0))
+        st_shape = jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32)
+        gout_spec = pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        gout_shape = jax.ShapeDtypeStruct((B, 1, bsub), jnp.int32)
+    if dec_only:
+        true_spec = pl.BlockSpec((1, 1, 1, 128), lambda b, t: (0, 0, 0, 0))
+        tab_spec = pl.BlockSpec((1, 1, 1, 128), lambda b, t: (0, 0, 0, 0))
+        tab_shape = jax.ShapeDtypeStruct((1, 1, 1, 128), jnp.int32)
+    else:
+        true_spec = pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
+        tab_spec = pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
+        tab_shape = jax.ShapeDtypeStruct((B, T2_pad, 1, CQB), jnp.int32)
     in_specs = [
         pl.BlockSpec((KS, 1, 2), lambda b, t: (t, 0, 0),
                      memory_space=pltpu.SMEM),                       # table
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # mode
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # pad
-        pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0),
-                     memory_space=pltpu.SMEM),                      # gptr in
+        gin_spec,                                                   # gptr in
         pl.BlockSpec(memory_space=pltpu.VMEM),                      # w1
         pl.BlockSpec(memory_space=pltpu.VMEM),                      # w2
         pl.BlockSpec(memory_space=pltpu.VMEM),                      # w3
@@ -265,30 +340,29 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
         pl.BlockSpec((1, KS, kf, W_ALL), lambda b, t: (b, t, 0, 0)),  # bias2
         pl.BlockSpec((1, KS, kf, W_ALL), lambda b, t: (b, t, 0, 0)),  # bias3
         pl.BlockSpec((1, KS, L, W_ALL), lambda b, t: (b, t, 0, 0)),   # bias4
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),   # true
-        pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),  # stream
-        pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),           # states
+        true_spec,                                                  # true
+        stream_spec,                                                # stream
+        inst_spec,                                                  # states
     ]
     out_specs = (
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),
-        pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0)),
+        sym_spec,
+        tab_spec,
+        tab_spec,
         pl.BlockSpec((1, KS, kf, W_ALL), lambda b, t: (b, t, 0, 0)),
         pl.BlockSpec((1, KS, kf, W_ALL), lambda b, t: (b, t, 0, 0)),
         pl.BlockSpec((1, KS, kf, W_ALL), lambda b, t: (b, t, 0, 0)),
-        pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0),
-                     memory_space=pltpu.SMEM),
+        st_spec,
+        gout_spec,
     )
     out_shape = (
-        jax.ShapeDtypeStruct((B, T2_pad, 1, CQB), jnp.int32),
-        jax.ShapeDtypeStruct((B, T2_pad, 1, CQB), jnp.int32),
-        jax.ShapeDtypeStruct((B, T2_pad, 1, CQB), jnp.int32),
+        sym_shape,
+        tab_shape,
+        tab_shape,
         jax.ShapeDtypeStruct((B, T2_pad, kf, W_ALL), jnp.float32),
         jax.ShapeDtypeStruct((B, T2_pad, kf, W_ALL), jnp.float32),
         jax.ShapeDtypeStruct((B, T2_pad, kf, W_ALL), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32),
-        jax.ShapeDtypeStruct((B, 1, bsub), jnp.int32),
+        st_shape,
+        gout_shape,
     )
     scratch = [
         pltpu.VMEM((VR, Q_CH, W_ALL), jnp.float32),      # r0

@@ -18,7 +18,11 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+# IMGCOMP_TEST_TPU=1 keeps the real backend so the @tpu_only tests (Mosaic
+# regressions CPU interpret mode cannot catch) run on hardware; everything
+# else in the suite still passes there, just slowly. Default: CPU-8.
+if os.environ.get('IMGCOMP_TEST_TPU') != '1':
+    jax.config.update('jax_platforms', 'cpu')
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

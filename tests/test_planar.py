@@ -196,7 +196,12 @@ def test_auto_impl_routes_k5():
 def test_planar_bsub8_streams_match_bsub2(monkeypatch):
     """bsub=8 (eight lane segments, halved KS=4 step blocks to fit scoped
     VMEM) must emit byte-identical streams to bsub=2 — the per-symbol
-    math never sees the segment count or the step blocking."""
+    math never sees the segment count or the step blocking.
+
+    NOTE: CPU interpret mode forces KS=1, so this run does NOT exercise
+    the KS=4 Mosaic blocking itself — TPU sessions must re-run this test
+    on hardware (IMGCOMP_TEST_TPU=1 python -m pytest tests/test_planar.py)
+    or the ab_streams gate after touching planar_kernel.py."""
     pc, pc_config, pc_params, centers, _ = _setup(5)
     rng = np.random.RandomState(9)
     syms8 = rng.randint(0, L, size=(8,) + SHAPE).astype(np.int8)
@@ -209,3 +214,27 @@ def test_planar_bsub8_streams_match_bsub2(monkeypatch):
         assert a.bitstream == b.bitstream
     dec = c2.decode_batch(pc_params, [r.bitstream for r in e8], centers)
     np.testing.assert_array_equal(dec, syms8.astype(np.int32))
+
+
+def test_planar_split_matches_shared_executable(monkeypatch):
+    """The enc/dec kernel variant split (fused one-dispatch paths) must
+    emit byte-identical streams to the shared-executable path, and the
+    two paths' streams must cross-decode (mirrors the K=3 DECSPLIT
+    oracle). This is the CPU pin; TPU byte-identity is the ab_streams
+    gate."""
+    pc, pc_config, pc_params, centers, syms = _setup(5)
+    c_split = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+    e_split = c_split.encode_batch(pc_params, syms, centers)
+    monkeypatch.setenv('IMGCOMP_PLANAR_SPLIT', '0')
+    c_shared = codec_lib.LatentCodec(pc, pc_config, impl='planar')
+    e_shared = c_shared.encode_batch(pc_params, syms, centers)
+    for a, b in zip(e_split, e_shared):
+        assert a.bitstream == b.bitstream
+    # Cross-decode: shared streams through the split decoder and back.
+    dec_shared = c_shared.decode_batch(
+        pc_params, [r.bitstream for r in e_split], centers)
+    np.testing.assert_array_equal(dec_shared, syms.astype(np.int32))
+    monkeypatch.delenv('IMGCOMP_PLANAR_SPLIT')
+    dec_split = c_split.decode_batch(
+        pc_params, [r.bitstream for r in e_shared], centers)
+    np.testing.assert_array_equal(dec_split, syms.astype(np.int32))
