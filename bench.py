@@ -73,31 +73,39 @@ def load_trained(path):
     return tree['params'], tree['batch_stats']
 
 
-def run_pipeline(codec, pc_vars, syms_dev, centers, ae_vars,
-                 ae_decode_syms, n_iter):
-    """Depth-2 software-pipelined encode+decode stream over n_iter batches;
-    returns seconds per batch (codec + AE decode; AE encode timed by the
-    caller)."""
+def run_pipeline(codec, pc_vars, x_dev, centers, ae_vars,
+                 ae_encode_syms, ae_decode_syms, n_iter):
+    """Depth-2 software-pipelined END-TO-END stream over n_iter batches
+    (AE encode -> entropy encode -> streams -> entropy decode -> AE
+    decode); returns seconds per batch. The AE encode is DISPATCHED
+    inside the loop (async — the device queue orders it ahead of the
+    codec kernels), so its cost overlaps the pipeline's host legs
+    instead of paying a per-batch sync."""
     import jax
+    import jax.numpy as jnp
+
+    def cycle_start():
+        syms = ae_encode_syms(ae_vars, x_dev)
+        return codec.encode_batch_submit(pc_vars, syms, centers)
+
+    @jax.jit
+    def _checksum(x):
+        return jnp.sum(x[0].astype(jnp.float32))
+
     # fill the pipeline before timing (one untimed cycle)
-    wh = codec.encode_batch_submit(pc_vars, syms_dev, centers)
-    wr = codec.encode_batch_finish(wh)
-    wd = codec.decode_batch_submit(pc_vars, [r.bitstream for r in wr],
-                                   centers)
-    codec.decode_batch_finish(wd, device_out=True)
-    # second warmup cycle compiles the predicted-rneed fused encode
-    wh = codec.encode_batch_submit(pc_vars, syms_dev, centers)
-    wr = codec.encode_batch_finish(wh)
-    wd = codec.decode_batch_submit(pc_vars, [r.bitstream for r in wr],
-                                   centers)
-    codec.decode_batch_finish(wd, device_out=True)
+    for _ in range(2):  # second cycle compiles the predicted-rneed encode
+        wr = codec.encode_batch_finish(cycle_start())
+        wd = codec.decode_batch_submit(pc_vars, [r.bitstream for r in wr],
+                                       centers)
+        x_warm = ae_decode_syms(
+            ae_vars, codec.decode_batch_finish(wd, device_out=True))
+        jax.device_get(_checksum(x_warm))  # compile the end-of-loop sync
     t0 = time.time()
-    enc_h = codec.encode_batch_submit(pc_vars, syms_dev, centers)
+    enc_h = cycle_start()
     dec_h = None
     x_out = None
     for i in range(n_iter):
-        enc_next = (codec.encode_batch_submit(pc_vars, syms_dev, centers)
-                    if i + 1 < n_iter else None)
+        enc_next = cycle_start() if i + 1 < n_iter else None
         rs = codec.encode_batch_finish(enc_h)
         enc_h = enc_next
         dec_prev, dec_h = dec_h, codec.decode_batch_submit(
@@ -107,7 +115,12 @@ def run_pipeline(codec, pc_vars, syms_dev, centers, ae_vars,
             x_out = ae_decode_syms(ae_vars, syms_out)
     syms_out = codec.decode_batch_finish(dec_h, device_out=True)
     x_out = ae_decode_syms(ae_vars, syms_out)
-    jax.block_until_ready(x_out)
+    # End-of-loop sync must be a REAL fetch: block_until_ready through the
+    # remote axon client has been observed to return before execution
+    # completes (measured: 4 queued AE encodes "block" in 0.9 ms where a
+    # device_get of one scalar of the same chain takes 141 ms/batch) — a
+    # scalar checksum fetch cannot lie.
+    jax.device_get(_checksum(x_out))
     return (time.time() - t0) / n_iter
 
 
@@ -216,6 +229,11 @@ def main():
         return ae.apply(ae_vars, q_from_syms(syms_dev_chw), False,
                         method='decode')
 
+    @jax.jit
+    def ae_encode_syms(ae_vars, x):
+        # image -> encoder -> (B, C, H, W) int8 symbols in ONE dispatch.
+        return syms_chw(ae.apply(ae_vars, x, False, method='encode').symbols)
+
     def measure(x, n_iter=8, repeats=2, adaptive=False):
         # Warmup (compile) + correctness gate: bit-exact round-trip.
         enc = ae_encode(ae_vars, x)
@@ -236,8 +254,8 @@ def main():
         # improving (2 consecutive non-improvements, floor 4 / cap 12
         # loops), which outlasts the warmup without a fixed large cost.
         def loop():
-            return run_pipeline(codec, pc_vars, syms_dev, centers,
-                                ae_vars, ae_decode_syms, n_iter)
+            return run_pipeline(codec, pc_vars, x, centers, ae_vars,
+                                ae_encode_syms, ae_decode_syms, n_iter)
         if adaptive:
             dt = loop()
             stale = 0
@@ -251,12 +269,6 @@ def main():
                         break
         else:
             dt = min(loop() for _ in range(repeats))
-        # AE encode time measured separately and added (the pipeline reuses
-        # precomputed symbols to keep the loop pure codec + AE decode).
-        t0 = time.time()
-        for _ in range(n_iter):
-            jax.block_until_ready(ae_encode(ae_vars, x).symbols)
-        dt += (time.time() - t0) / n_iter
         return mp / dt, bpp, real / theo - 1.0
 
     mps, bpp, ovh = measure(x_nat, n_iter=4, adaptive=True)

@@ -65,6 +65,11 @@ def ae_decode_syms(ae_vars, s):
     return ae.apply(ae_vars, q_from_syms(s), False, method='decode')
 
 
+@jax.jit
+def ae_encode_syms(ae_vars, x):
+    return syms_chw(ae.apply(ae_vars, x, False, method='encode').symbols)
+
+
 # warmup everything + roundtrip gate
 enc = ae_encode(ae_vars, x)
 syms_dev = syms_chw(enc.symbols)
@@ -102,17 +107,17 @@ print(f'{"ae_encode (pipelined)":34s} {dt * 1e3:8.1f} ms/batch  '
 timed('ae_decode_syms (sync each iter)',
       lambda: jax.block_until_ready(ae_decode_syms(ae_vars, syms_dev)))
 
-# 4. codec pipeline alone (no AE decode in the loop)
+# 4. codec pipeline alone (no AE legs in the loop)
 def codec_only():
-    dt = bench.run_pipeline(codec, pc_vars, syms_dev, centers, ae_vars,
-                            lambda v, s: s, N_ITER)
+    dt = bench.run_pipeline(codec, pc_vars, x, centers, ae_vars,
+                            lambda v, _x: syms_dev, lambda v, s: s, N_ITER)
     return dt
 d = codec_only()
-print(f'{"codec pipeline (no AE dec)":34s} {d * 1e3:8.1f} ms/batch  '
+print(f'{"codec pipeline (no AE legs)":34s} {d * 1e3:8.1f} ms/batch  '
       f'({mp / d:6.1f} MP/s-equiv)')
 
-# 5. codec pipeline + AE decode (bench's run_pipeline)
-d = bench.run_pipeline(codec, pc_vars, syms_dev, centers, ae_vars,
-                       ae_decode_syms, N_ITER)
-print(f'{"codec pipeline + AE decode":34s} {d * 1e3:8.1f} ms/batch  '
+# 5. the full end-to-end pipeline (bench's run_pipeline)
+d = bench.run_pipeline(codec, pc_vars, x, centers, ae_vars,
+                       ae_encode_syms, ae_decode_syms, N_ITER)
+print(f'{"full pipeline (AE enc+codec+AE dec)":34s} {d * 1e3:8.1f} ms/batch  '
       f'({mp / d:6.1f} MP/s-equiv)')

@@ -32,6 +32,24 @@ import gc  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers',
+        'tpu_only: needs the real TPU backend (run with IMGCOMP_TEST_TPU=1; '
+        'skipped on the CPU mesh — interpret mode cannot catch Mosaic-level '
+        'regressions such as the planar KS=4 step blocking)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get('IMGCOMP_TEST_TPU') == '1':
+        return
+    skip = pytest.mark.skip(reason='tpu_only: set IMGCOMP_TEST_TPU=1 on '
+                                   'real hardware')
+    for item in items:
+        if 'tpu_only' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope='module')
 def _free_compiled_executables_between_modules():
     """The interpret-mode Pallas kernels trace to very large XLA graphs;

@@ -166,6 +166,45 @@ def test_codec_theoretical_bits_match_bitcost(tiny_pc_setup):
     assert result.theoretical_bits == pytest.approx(bitcost_total, rel=5e-3)
 
 
+def test_container_state_packing_edges():
+    """Container v7 entropy-packs the rANS decode-entry states (4-bit
+    length + MSB-implicit hi value). Exercise the hi extremes (1 and
+    2^16 - 1), full-range randoms, and the serialize/deserialize
+    round-trip incl. derived word count."""
+    rng = np.random.RandomState(3)
+    cases = [
+        np.full(32, rans.RANS_L, np.uint32),                  # hi = 1
+        np.full(32, 0xFFFFFFFF, np.uint32),                   # hi = 2^16-1
+        ((rng.randint(1, 1 << 16, size=32).astype(np.uint64) << np.uint64(16))
+         | rng.randint(0, 1 << 16, size=32).astype(np.uint64)
+         ).astype(np.uint32),
+        np.asarray([rans.RANS_L], np.uint32),                 # R = 1
+    ]
+    for states in cases:
+        r = len(states)
+        packed = codec_lib._pack_states(states)
+        got, consumed = codec_lib._unpack_states(
+            r, b'\x00' * 5 + packed + b'\xAB', 5)
+        assert consumed == len(packed)
+        np.testing.assert_array_equal(got, states)
+        # The container must never lose vs raw u32 states: worst-case
+        # entropy packing (every hi at 16 bits) escapes to raw via the
+        # nstates high bit.
+        blob_min = codec_lib.serialize_stream(
+            (4, 6, 8), np.zeros(0, np.uint32), states)
+        assert len(blob_min) <= 15 + 4 * r
+        words = rng.randint(0, 1 << 16, size=37).astype(np.uint32)
+        blob = codec_lib.serialize_stream((4, 6, 8), words, states,
+                                          sym_crc=0xDEADBEEF, impl_id=2,
+                                          prec=1)
+        shape, w2, st2, crc = codec_lib.deserialize_stream(blob)
+        assert shape == (4, 6, 8) and crc == 0xDEADBEEF
+        assert codec_lib.stream_impl_id(blob) == 2
+        assert codec_lib.stream_prec(blob) == 1
+        np.testing.assert_array_equal(w2, words)
+        np.testing.assert_array_equal(st2, states)
+
+
 def test_codec_rejects_corrupt_stream(tiny_pc_setup):
     cfg, pc, params, centers, latent = tiny_pc_setup
     codec = codec_lib.LatentCodec(pc, cfg)

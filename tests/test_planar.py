@@ -193,6 +193,15 @@ def test_auto_impl_routes_k5():
     assert c2.impl == 'planar'
 
 
+@pytest.mark.tpu_only
+def test_planar_bsub8_hardware_blocking(monkeypatch):
+    """Hardware re-verification of the KS=4 step blocking (ADVICE r3 #3):
+    CPU interpret mode forces KS=1, so only a real-TPU run exercises the
+    Mosaic lowering of the bsub>=8 blocked kernels. Quick gate:
+    `IMGCOMP_TEST_TPU=1 python -m pytest tests/test_planar.py -m tpu_only`."""
+    test_planar_bsub8_streams_match_bsub2(monkeypatch)
+
+
 def test_planar_bsub8_streams_match_bsub2(monkeypatch):
     """bsub=8 (eight lane segments, halved KS=4 step blocks to fit scoped
     VMEM) must emit byte-identical streams to bsub=2 — the per-symbol
