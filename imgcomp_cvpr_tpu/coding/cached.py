@@ -240,7 +240,8 @@ class CachedScanBuilder:
         pc_config = self.pc_config
 
         @jax.jit
-        def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
+        def run(pc_params, centers, true_syms_flat, stream, init_states, mode,
+                thresh):
             (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(
                 pc_params, k_feats, L)
             pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
@@ -260,7 +261,7 @@ class CachedScanBuilder:
                 return g.reshape(g.shape[0], -1)
 
             def step(carry, x):
-                vol0, c1, c2, c3, states, gptr = carry
+                vol0, c1, c2, c3, states, gptr, cnt = carry
                 # layer 1: (M1, 18) scalars @ (18, k)
                 g = jnp.take(vol0, x['l1_base'][:, None] + offs0[None, :], axis=0)
                 y1 = jax.nn.relu(g @ w1 + b1)
@@ -280,8 +281,9 @@ class CachedScanBuilder:
                 probs = jax.nn.softmax(logits, axis=-1)
                 freq, cdf_low = rans.quantize_cdf(probs)
 
-                sym_dec, states, gptr = rans.decode_step_interleaved(
-                    states, gptr, stream, freq, cdf_low, x['active'])
+                sym_dec, states, gptr, cnt = rans.decode_step_interleaved(
+                    states, gptr, stream, freq, cdf_low, x['active'],
+                    cnt, thresh)
                 sym_true = jnp.take(true_syms_flat, x['sym_idx']).astype(jnp.int32)
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
@@ -292,11 +294,12 @@ class CachedScanBuilder:
                 sel = sym[:, None].astype(jnp.int32)
                 freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
                 start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
-                return (vol0, c1, c2, c3, states, gptr), (
+                return (vol0, c1, c2, c3, states, gptr, cnt), (
                     sym.astype(jnp.int8), freq_sel, start_sel)
 
-            init = (vol0, c1, c2, c3, init_states, jnp.zeros((), jnp.int32))
-            (_, _, _, _, _, final_gptr), ys = jax.lax.scan(step, init, xs)
+            init = (vol0, c1, c2, c3, init_states, jnp.zeros((), jnp.int32),
+                    jnp.zeros_like(thresh))
+            (_, _, _, _, _, final_gptr, _), ys = jax.lax.scan(step, init, xs)
             syms, freq_sel, start_sel = ys
             return syms, freq_sel, start_sel, final_gptr
 

@@ -40,11 +40,15 @@ from . import wavefront
 
 MAGIC = b'\xa7'  # imgcomp-cvpr-tpu codec (1 byte: the container's fixed
                  # cost is a first-class metric — VERDICT r3 #4)
-VERSION = 7  # v6 + slim header (24 -> 15 bytes) and entropy-packed rANS
-             # lane states (the 32-bit state's high half is ~1/x
-             # log-uniform: 4-bit length + MSB-implicit value, ~4.5
-             # bits/lane saved); v6 streams are rejected cleanly by the
-             # version check. PERF.md holds the floor decomposition.
+VERSION = 8  # v7 (slim 15-byte header, entropy-packed rANS lane states)
+             # + x0=1 TAIL PACKING (impl byte bit 7): the encoder seeds
+             # its lanes at x0=1 instead of RANS_L, so the seed's 16
+             # a-priori-known bits stop flowing through the stream; the
+             # per-lane warmup counts k ride the container (kw-bit
+             # entries) and the decoder suppresses its renorm pull for
+             # each lane's last k symbols (see rans.scalar_encode).
+             # Earlier versions are rejected cleanly by the version
+             # check. PERF.md holds the floor decomposition.
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
@@ -53,6 +57,23 @@ IMPL_DIRECT, IMPL_CACHED, IMPL_RING, IMPL_PALLAS, IMPL_PLANAR = 0, 1, 2, 3, 4
 IMPL_IDS = {'direct': IMPL_DIRECT, 'cached': IMPL_CACHED, 'ring': IMPL_RING,
             'pallas': IMPL_PALLAS, 'planar': IMPL_PLANAR}
 IMPL_NAMES = {v: k for k, v in IMPL_IDS.items()}
+
+
+TAIL_MIN_LANE_SYMBOLS = 256   # auto tail packing only when lanes are
+                              # long enough that the ~16-bit/lane seed
+                              # saving dominates the k-table (tiny test
+                              # latents would pay more for kw*r bits than
+                              # their 1-2-symbol lanes can save)
+
+
+def _rans_x0() -> int:
+    """Encoder lane seed. '1' (default) = tail packing: no 16-bit seed
+    flush per lane, warmup counts ride the container. 'L' = the classic
+    x0=RANS_L seed (also the automatic per-image fallback when a warmup
+    exceeds K_CAP)."""
+    import os
+    v = os.environ.get('IMGCOMP_RANS_X0', '1')
+    return rans.RANS_L if v in ('L', 'l', str(rans.RANS_L)) else int(v)
 
 
 # Symbol-volume checksum for the container: a weighted mod-2^32 sum chosen
@@ -202,14 +223,15 @@ class LatentCodec:
         }
 
         @jax.jit
-        def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
+        def run(pc_params, centers, true_syms_flat, stream, init_states, mode,
+                thresh):
             """mode: 0 = decode, 1 = encode (teacher-forced). Same executable
             for both — that is the bit-exactness guarantee."""
             pad_value = pc_lib.auto_pad_value(self.pc_config, centers, pc_params)
             volume = jnp.full((flat_size,), pad_value, jnp.float32)
 
             def step(carry, x):
-                volume, states, gptr = carry
+                volume, states, gptr, cnt = carry
                 idx = x['base'][:, None] + ctx_offsets[None, :]      # (M, n_ctx)
                 patches = jnp.take(volume, idx, axis=0)
                 patches = patches.reshape(-1, ctx_d, cs, cs)
@@ -218,8 +240,9 @@ class LatentCodec:
                 probs = jax.nn.softmax(logits, axis=-1)
                 freq, cdf_low = rans.quantize_cdf(probs)
 
-                sym_dec, states, gptr = rans.decode_step_interleaved(
-                    states, gptr, stream, freq, cdf_low, x['active'])
+                sym_dec, states, gptr, cnt = rans.decode_step_interleaved(
+                    states, gptr, stream, freq, cdf_low, x['active'],
+                    cnt, thresh)
                 sym_true = jnp.take(true_syms_flat, x['sym_idx']).astype(jnp.int32)
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
@@ -231,15 +254,26 @@ class LatentCodec:
                 sel = sym[:, None].astype(jnp.int32)
                 freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
                 start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
-                return (volume, states, gptr), (sym.astype(jnp.int8), freq_sel,
-                                                start_sel)
+                return (volume, states, gptr, cnt), (sym.astype(jnp.int8),
+                                                     freq_sel, start_sel)
 
-            init = (volume, init_states, jnp.zeros((), jnp.int32))
-            (_, _, final_gptr), ys = jax.lax.scan(step, init, xs)
+            init = (volume, init_states, jnp.zeros((), jnp.int32),
+                    jnp.zeros_like(thresh))
+            (_, _, final_gptr, _), ys = jax.lax.scan(step, init, xs)
             syms, freq_sel, start_sel = ys
             return syms, freq_sel, start_sel, final_gptr
 
         return run, sched
+
+    @functools.lru_cache(maxsize=8)
+    def _lane_totals(self, latent_shape: Tuple[int, int, int]) -> np.ndarray:
+        """(r,) int32: active symbol slots per persistent rANS lane — the
+        base for the tail-packing pull threshold (total - k)."""
+        sched = self._scan_fn(latent_shape)[1]
+        act = np.asarray(sched.active)
+        T, M = act.shape
+        r = rans.R_LANES if M >= rans.R_LANES else M
+        return act.reshape(T, M // r, r).sum(axis=(0, 1)).astype(np.int32)
 
     @functools.lru_cache(maxsize=8)
     def _batched_scan_fn(self, latent_shape: Tuple[int, int, int]):
@@ -247,7 +281,7 @@ class LatentCodec:
         decodes B images concurrently (B x M lanes per step), amortizing
         the per-step dispatch and filling the chip."""
         run, sched = self._scan_fn(latent_shape)
-        batched = jax.jit(jax.vmap(run, in_axes=(None, None, 0, 0, 0, None)))
+        batched = jax.jit(jax.vmap(run, in_axes=(None, None, 0, 0, 0, None, 0)))
         return batched, sched
 
     @functools.lru_cache(maxsize=8)
@@ -261,11 +295,12 @@ class LatentCodec:
         sym_flat_c = jnp.asarray(sched.sym_flat)
         n = int(np.prod(latent_shape))
 
-        @jax.jit
-        def encode_streams(freq_sel, start_sel):
-            # (B, T, M) -> reversed word buffer + count + (R,) states
+        @functools.partial(jax.jit, static_argnames=('x0',))
+        def encode_streams(freq_sel, start_sel, x0=rans.RANS_L):
+            # (B, T, M) -> reversed word buffer + count + (R,) states + k
             return jax.vmap(
-                lambda f, s: rans.encode_reverse_scan_interleaved(f, s, active_c)
+                lambda f, s: rans.encode_reverse_scan_interleaved(
+                    f, s, active_c, x0=x0)
             )(freq_sel, start_sel)
 
         @jax.jit
@@ -332,13 +367,19 @@ class LatentCodec:
         w_buf = sched.T * sched.M
         streams_dummy = self._shard(np.zeros((b, w_buf), np.uint32))
         states_dummy = self._shard(np.full((b, r), rans.RANS_L, np.uint32))
+        thresh_dummy = self._shard(
+            np.full((b, r), np.iinfo(np.int32).max // 2, np.int32))
         _, freq_sel, start_sel, _ = run(
             pc_params, jnp.asarray(centers),
             self._shard(symbols.reshape(b, -1).astype(np.int8)),
-            streams_dummy, states_dummy, jnp.int32(1))
-        buf, n_words, states = encode_streams(freq_sel, start_sel)
+            streams_dummy, states_dummy, jnp.int32(1), thresh_dummy)
+        x0 = _rans_x0()
+        if int(self._lane_totals(latent_shape).max()) < TAIL_MIN_LANE_SYMBOLS:
+            x0 = rans.RANS_L
+        buf, n_words, states, k = encode_streams(freq_sel, start_sel, x0=x0)
         theo = theoretical_bits(freq_sel)
-        return (latent_shape, symbols, buf, n_words, states, theo)
+        return (latent_shape, symbols, buf, n_words, states, theo, k, x0,
+                (freq_sel, start_sel))
 
     def encode_batch_finish(self, handle) -> Tuple[EncodeResult, ...]:
         if isinstance(handle, tuple) and handle and handle[0] == 'meshpad':
@@ -347,21 +388,41 @@ class LatentCodec:
             return self._pallas_coder().encode_batch_finish(handle[1])
         if isinstance(handle, tuple) and handle and handle[0] == 'planar':
             return self._planar_coder().encode_batch_finish(handle[1])
-        latent_shape, symbols, buf, n_words, states, theo = handle
+        (latent_shape, symbols, buf, n_words, states, theo, k, x0,
+         sels) = handle
         b = symbols.shape[0]
         # one blocking transfer for all the small outputs
-        theo, n_words, states = jax.device_get((theo, n_words, states))
-        theo, n_words, states = map(np.asarray, (theo, n_words, states))
+        theo, n_words, states, k = jax.device_get((theo, n_words, states, k))
+        theo, n_words, states, k = map(np.asarray,
+                                       (theo, n_words, states, k))
         wmax = int(n_words.max()) if n_words.size else 0
         wmax = max(64, -(-wmax // 64) * 64)                # bucket to bound recompiles
         wmax = min(wmax, buf.shape[1])
         words = np.asarray(jax.device_get(buf[:, :wmax]))
+        tail = x0 < rans.RANS_L
+        legacy = None
+        if tail and k.size and int(k.max()) > K_CAP:
+            # Pathological low-entropy lanes (a lane needs > K_CAP symbols
+            # to accumulate 16 state bits): re-encode the whole batch with
+            # the classic seed and serialize the affected images from it.
+            encode_streams = self._device_helpers(latent_shape)[0]
+            lbuf, ln_words, lstates, _ = jax.device_get(
+                encode_streams(*sels, x0=rans.RANS_L))
+            legacy = (np.asarray(lbuf), np.asarray(ln_words),
+                      np.asarray(lstates))
         results = []
         for i in range(b):
-            stream = words[i, :n_words[i]][::-1].astype(np.uint32)
-            bitstream = serialize_stream(latent_shape, stream, states[i],
+            if legacy is not None and int(k[i].max()) > K_CAP:
+                lbuf, ln_words, lstates = legacy
+                stream = lbuf[i, :ln_words[i]][::-1].astype(np.uint32)
+                st_i, k_i = lstates[i], None
+            else:
+                stream = words[i, :n_words[i]][::-1].astype(np.uint32)
+                st_i, k_i = states[i], (k[i] if tail else None)
+            bitstream = serialize_stream(latent_shape, stream, st_i,
                                          symbol_crc(symbols[i]),
-                                         impl_id=IMPL_IDS[self.impl])
+                                         impl_id=IMPL_IDS[self.impl],
+                                         k=k_i)
             results.append(EncodeResult(bitstream=bitstream,
                                         num_bits=len(bitstream) * 8,
                                         theoretical_bits=float(theo[i]),
@@ -411,14 +472,19 @@ class LatentCodec:
         wmax = min(max(64, -(-wmax // 64) * 64), w_buf)
         packed = np.zeros((b, wmax), np.uint32)
         states = np.zeros((b, r), np.uint32)
-        for i, (_, stream_words, st, _crc) in enumerate(parsed):
+        thresh = np.full((b, r), np.iinfo(np.int32).max // 2, np.int32)
+        totals = self._lane_totals(latent_shape)
+        for i, (_, stream_words, st, _crc, k) in enumerate(parsed):
             states[i] = st
             packed[i, :len(stream_words)] = stream_words
+            if k is not None:        # tail-packed: no pull in the last k
+                thresh[i] = totals - k.astype(np.int32)
         streams = pad_streams(self._shard(packed), t=w_buf)
         dummy_true = self._shard(
             np.zeros((b, int(np.prod(latent_shape))), np.int8))
         syms, _, _, _ = run(pc_params, jnp.asarray(centers), dummy_true,
-                            streams, self._shard(states), jnp.int32(0))
+                            streams, self._shard(states), jnp.int32(0),
+                            self._shard(thresh))
         return (latent_shape, parsed, pack_syms(syms))
 
     def decode_batch_finish(self, handle, verify: bool = True,
@@ -488,14 +554,18 @@ class LatentCodec:
 # Bitstream container
 # ---------------------------------------------------------------------------
 
-def _pack_states(final_states: np.ndarray) -> bytes:
+def _pack_states(final_states: np.ndarray, wide: bool = False) -> bytes:
     """Entropy-pack R decoder-entry rANS states. x = hi*2^16 + lo with
     hi in [1, 2^16): lo is a uniform slot (incompressible, shipped raw);
     hi is ~1/x log-uniform, shipped as a 4-bit length len = bit_length-1
     plus len value bits with the MSB implicit (~11.5 bits avg vs 16).
     Saves ~4.5 bits/lane typically; the worst case (every hi at 16 bits)
     costs 19 bits/lane, so serialize_stream escapes to raw u32 states
-    (nstates high bit) whenever packing would not win."""
+    (nstates high bit) whenever packing would not win.
+
+    wide=True (tail-packed streams, x0=1): hi may be 0 — a lane whose
+    whole content fits the sub-2^16 warmup — so the length field is 5
+    bits holding bit_length(hi) in [0, 16] (0 => no value bits)."""
     st = np.asarray(final_states, np.uint64)
     lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
     hi = (st >> np.uint64(16)).astype(np.uint32)
@@ -503,12 +573,20 @@ def _pack_states(final_states: np.ndarray) -> bytes:
     nbits = 0
     for h in hi:
         h = int(h)
-        assert h >= 1, 'rANS state below the renormalization interval'
-        ln = h.bit_length() - 1                 # in [0, 15]
-        acc |= ln << nbits
-        nbits += 4
-        acc |= (h - (1 << ln)) << nbits         # MSB implicit
-        nbits += ln
+        if wide:
+            ln = h.bit_length()                 # in [0, 16]
+            acc |= ln << nbits
+            nbits += 5
+            if ln:
+                acc |= (h - (1 << (ln - 1))) << nbits   # MSB implicit
+                nbits += ln - 1
+        else:
+            assert h >= 1, 'rANS state below the renormalization interval'
+            ln = h.bit_length() - 1             # in [0, 15]
+            acc |= ln << nbits
+            nbits += 4
+            acc |= (h - (1 << ln)) << nbits     # MSB implicit
+            nbits += ln
     packed = acc.to_bytes((nbits + 7) // 8, 'little')
     return lo.tobytes() + packed
 
@@ -520,53 +598,93 @@ def _read_bits(data: bytes, base: int, bitoff: int, n: int) -> int:
     return (chunk >> (bitoff % 8)) & ((1 << n) - 1)
 
 
-def _unpack_states(r: int, data: bytes, pos: int):
+def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False):
     """Inverse of _pack_states; returns (states_u32, bytes_consumed)."""
     lo = np.frombuffer(data[pos:pos + 2 * r], np.uint16)
     base = pos + 2 * r
     bits = 0
     hi = np.empty(r, np.uint32)
     for i in range(r):
-        ln = _read_bits(data, base, bits, 4)
-        bits += 4
-        hi[i] = (1 << ln) | _read_bits(data, base, bits, ln)
-        bits += ln
+        if wide:
+            ln = _read_bits(data, base, bits, 5)
+            bits += 5
+            if ln:
+                hi[i] = (1 << (ln - 1)) | _read_bits(data, base, bits, ln - 1)
+                bits += ln - 1
+            else:
+                hi[i] = 0
+        else:
+            ln = _read_bits(data, base, bits, 4)
+            bits += 4
+            hi[i] = (1 << ln) | _read_bits(data, base, bits, ln)
+            bits += ln
     states = (hi.astype(np.uint32) << np.uint32(16)) | lo.astype(np.uint32)
     return states, 2 * r + (bits + 7) // 8
 
 
+K_CAP = 65535        # per-lane warmup cap (16-bit k entries at most —
+                     # real content runs k in the thousands: importance-
+                     # map-masked regions are near-deterministic, so a
+                     # lane's first ~40% of symbols can carry < 16 bits
+                     # total); an image exceeding it (plausible only for
+                     # an all-masked giant image) re-encodes with
+                     # x0=RANS_L
+
+
 def serialize_stream(latent_shape, stream_words: np.ndarray,
                      final_states: np.ndarray, sym_crc: int = 0,
-                     impl_id: int = IMPL_RING, prec: int = 0) -> bytes:
-    """Container v7, 15 fixed header bytes: magic(1) version(1) impl(1)
+                     impl_id: int = IMPL_RING, prec: int = 0,
+                     k=None) -> bytes:
+    """Container v8, 15 fixed header bytes: magic(1) version(1) impl(1)
     prec(1) shape(3x u16) crc(4) nstates(1); then the packed states
-    block and the 16-bit stream words (their count is derived from the
-    remaining length — no nwords field). nstates' high bit escapes to
-    raw u32 states for the rare all-long-hi batch where entropy packing
-    would cost more than raw."""
+    block [then the k-table] and the 16-bit stream words (their count is
+    derived from the remaining length — no nwords field).
+
+    nstates' high bit escapes to raw u32 states for the rare all-long-hi
+    batch where entropy packing would cost more than raw.
+
+    k != None marks a TAIL-PACKED stream (impl byte bit 7): the encoder
+    seeded its lanes at x0=1 and k[lane] warmup symbols at each lane's
+    decode tail must not pull renorm words (rans.scalar_encode). The
+    k-table is kw bits per lane (kw in a leading byte); every k must be
+    <= K_CAP — encoders fall back to x0=RANS_L (k=None) otherwise."""
     r = len(final_states)
     assert r < 128
-    packed = _pack_states(final_states)
+    packed = _pack_states(final_states, wide=k is not None)
     if len(packed) > 4 * r:                         # packing must never lose
         r |= 0x80
         packed = final_states.astype(np.uint32).tobytes()
     buf = io.BytesIO()
     buf.write(MAGIC)
     buf.write(np.asarray([VERSION], np.uint8).tobytes())
-    buf.write(np.asarray([impl_id], np.uint8).tobytes())
+    buf.write(np.asarray([impl_id | (0x80 if k is not None else 0)],
+                         np.uint8).tobytes())
     buf.write(np.asarray([prec], np.uint8).tobytes())
     buf.write(np.asarray(latent_shape, np.uint16).tobytes())
     buf.write(np.asarray([sym_crc], np.uint32).tobytes())
     buf.write(np.asarray([r], np.uint8).tobytes())
     buf.write(packed)
+    if k is not None:
+        k = np.asarray(k, np.int64)
+        assert len(k) == (r & 0x7F) and k.min() >= 0 and k.max() <= K_CAP,             (len(k), r, int(k.min()), int(k.max()))
+        kw = max(1, int(k.max()).bit_length())
+        assert kw <= 16, kw                      # _read_bits limit
+        acc = 0
+        for i, kv in enumerate(k):
+            acc |= int(kv) << (i * kw)
+        buf.write(np.asarray([kw], np.uint8).tobytes())
+        buf.write(acc.to_bytes((len(k) * kw + 7) // 8, 'little'))
     buf.write(stream_words.astype(np.uint16).tobytes())
     return buf.getvalue()
 
 
 def deserialize_stream(data: bytes):
+    """-> (latent_shape, stream_words, states, sym_crc, k) with k = None
+    for x0=RANS_L streams, else the (R,) int32 warmup table."""
     assert data[:1] == MAGIC, 'bad magic'
     version = data[1]
     assert version == VERSION, version
+    tail_mode = bool(data[2] & 0x80)
     latent_shape = tuple(int(v) for v in np.frombuffer(data[4:10], np.uint16))
     sym_crc = int(np.frombuffer(data[10:14], np.uint32)[0])
     r = data[14]
@@ -575,16 +693,25 @@ def deserialize_stream(data: bytes):
         states = np.frombuffer(data[15:15 + 4 * r], np.uint32).copy()
         consumed = 4 * r
     else:
-        states, consumed = _unpack_states(r, data, 15)
-    tail = data[15 + consumed:]
+        states, consumed = _unpack_states(r, data, 15, wide=tail_mode)
+    pos = 15 + consumed
+    k = None
+    if tail_mode:
+        kw = data[pos]
+        pos += 1
+        k = np.empty(r, np.int32)
+        for i in range(r):
+            k[i] = _read_bits(data, pos, i * kw, kw)
+        pos += (r * kw + 7) // 8
+    tail = data[pos:]
     assert len(tail) % 2 == 0, 'truncated container'
     stream_words = np.frombuffer(tail, np.uint16).astype(np.uint32)
-    return latent_shape, stream_words, states, sym_crc
+    return latent_shape, stream_words, states, sym_crc, k
 
 
 def stream_impl_id(data: bytes) -> int:
     assert data[:1] == MAGIC, 'bad magic'
-    return data[2]
+    return data[2] & 0x7F
 
 
 def stream_prec(data: bytes) -> int:

@@ -51,11 +51,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.rans_encode_reverse.argtypes = [
-            ctypes.c_int64, ctypes.c_int64, u32p, u32p, u8p, u16p, u32p, u32p]
+            ctypes.c_int64, ctypes.c_int64, u32p, u32p, u8p,
+            ctypes.c_uint32, u16p, u32p, u32p, i32p]
         lib.rans_encode_reverse.restype = None
         lib.rans_decode_lane.argtypes = [
             ctypes.c_int64, ctypes.c_int64, u16p, ctypes.c_int64,
-            ctypes.c_uint32, u32p, u32p, i32p]
+            ctypes.c_uint32, ctypes.c_int32, u32p, u32p, i32p]
         lib.rans_decode_lane.restype = None
         _lib = lib
         return _lib

@@ -266,15 +266,30 @@ class PallasCoder:
             fwd_dec, _ = pk.make_forward(latent_shape, self.kf, self.L, bi,
                                          bsub=bsub, prec=prec,
                                          interpret=interp)
-        rev, _ = pk.make_reverse(latent_shape, bi, bsub=bsub,
-                                 interpret=interp)
         tables, _ = self._tables(latent_shape, bsub)
+        # Per-lane active totals (identical for every image slot of the
+        # interleave): the base of the v8 tail-packing pull threshold.
+        acm_np = np.asarray(tables[2])[:, 0, :]          # (T_pad, CQB)
+        BRl = bsub * pk.R
+        tot_cols = acm_np.reshape(acm_np.shape[0], -1, BRl).sum(axis=(0, 1))
+        lane_totals = tot_cols[:pk.R].astype(np.int32)
+        for i in range(1, bsub):
+            assert (tot_cols[i * pk.R:(i + 1) * pk.R]
+                    == lane_totals).all(), 'image slots differ in schedule'
+        from . import codec as _codec_lib
+        x0_enc = _codec_lib._rans_x0()
+        if int(lane_totals.max()) < _codec_lib.TAIL_MIN_LANE_SYMBOLS:
+            x0_enc = rans.RANS_L
+
+        def _rev(x0):
+            return pk.make_reverse(latent_shape, bi, bsub=bsub,
+                                   interpret=interp, x0=x0)[0]
         (pack_true, unpack_syms, theoretical_bits, pad_stream,
          checksum_syms) = self._prep_fns(latent_shape, b_out, bsub)
         wrows = pk.kernel_stream_rows(sched, bsub)
         n = int(np.prod(latent_shape))
 
-        def encode_local(rneed, pc_params, centers, symbols_flat):
+        def encode_local(rneed, x0, pc_params, centers, symbols_flat):
             # symbols_flat: (bl, n) -> groups of bsub consecutive images.
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
@@ -289,23 +304,26 @@ class PallasCoder:
                                jnp.uint32)
             mode1 = jnp.ones((1,), jnp.int32)
 
+            rev = _rev(x0)
+
             def enc_group(ts):
                 _, fsel, ssel = fwd_enc(weights, tables, ts, streams0,
                                         states0, mode1)
-                w, nw, st = rev(tables, fsel, ssel)
-                return w, nw, st, fsel
+                w, nw, st, kw = rev(tables, fsel, ssel)
+                return w, nw, st, kw, fsel
 
             if b_out == bi:
-                words, n_words, st, fsel = enc_group(true_syms)
+                words, n_words, st, kwarm, fsel = enc_group(true_syms)
             else:
                 nch = b_out // bi
                 stacked = true_syms.reshape((nch, bi) + true_syms.shape[1:])
-                w, nw, st, fsel = jax.lax.map(enc_group, stacked)
+                w, nw, st, kw, fsel = jax.lax.map(enc_group, stacked)
                 words = w.reshape((b_out,) + w.shape[2:])
                 n_words = nw.reshape((b_out,) + nw.shape[2:])
                 st = st.reshape((b_out,) + st.shape[2:])
+                kwarm = kw.reshape((b_out,) + kw.shape[2:])
                 fsel = fsel.reshape((b_out,) + fsel.shape[2:])
-            outs = (words, n_words, st, theoretical_bits(fsel),
+            outs = (words, n_words, st, kwarm, theoretical_bits(fsel),
                     checksum_syms(symbols_flat))
             if not rneed:
                 return outs
@@ -321,20 +339,25 @@ class PallasCoder:
 
         encode_cache = {}
 
-        def encode_dev(pc_params, centers, symbols_flat, rneed=0):
-            if rneed not in encode_cache:
-                encode_cache[rneed] = self._shard_wrap(
-                    functools.partial(encode_local, rneed),
-                    n_in_batch=1, n_out=5 + (1 if rneed else 0))
-            return encode_cache[rneed](pc_params, centers, symbols_flat)
+        def encode_dev(pc_params, centers, symbols_flat, rneed=0, x0=None):
+            x0 = x0_enc if x0 is None else x0
+            key = (rneed, x0)
+            if key not in encode_cache:
+                encode_cache[key] = self._shard_wrap(
+                    functools.partial(encode_local, rneed, x0),
+                    n_in_batch=1, n_out=6 + (1 if rneed else 0))
+            return encode_cache[key](pc_params, centers, symbols_flat)
 
-        def decode_local(nbucket, pc_params, centers, words_bucket, states):
-            # words_bucket: (bl, nbucket); states: (bl, 1, R) per image.
+        def decode_local(nbucket, pc_params, centers, words_bucket, states,
+                         thresh):
+            # words_bucket: (bl, nbucket); states/thresh: (bl, 1, R) per
+            # image; thresh = lane_totals - k (tail packing) or huge.
             weights = _fold_weights(self.pc, self.pc_config, self.kf, self.L,
                                     pc_params, centers)
             streams = pad_stream(words_bucket.reshape(b_out, bsub, -1),
                                  nbucket)
             st = states.reshape(b_out, 1, bsub * pk.R)
+            th = thresh.reshape(b_out, 1, bsub * pk.R)
             cqb = pk._round_up(sched.S * bsub * pk.R, 128)
             # The dec_only kernel has no teacher input — a (1, 1, 1, 128)
             # dummy replaces the (b_out, T_pad, 1, CQB) zeros volume the
@@ -346,18 +369,19 @@ class PallasCoder:
             mode0 = jnp.zeros((1,), jnp.int32)
 
             def dec_group(args):
-                sb, st0 = args
+                sb, st0, th0 = args
                 sy, _, _ = fwd_dec(weights, tables, dummy_true, sb, st0,
-                                   mode0)
+                                   mode0, thresh=th0)
                 return sy
 
             if b_out == bi:
-                syms = dec_group((streams, st))
+                syms = dec_group((streams, st, th))
             else:
                 nch = b_out // bi
                 stacked = (
                     streams.reshape((nch, bi) + streams.shape[1:]),
-                    st.reshape((nch, bi) + st.shape[1:]))
+                    st.reshape((nch, bi) + st.shape[1:]),
+                    th.reshape((nch, bi) + th.shape[1:]))
                 sy = jax.lax.map(dec_group, stacked)
                 syms = sy.reshape((b_out,) + sy.shape[2:])
             out = unpack_syms(syms)
@@ -365,15 +389,17 @@ class PallasCoder:
 
         decode_cache = {}
 
-        def decode_dev(pc_params, centers, words_bucket, states, nbucket):
+        def decode_dev(pc_params, centers, words_bucket, states, thresh,
+                       nbucket):
             if nbucket not in decode_cache:
                 decode_cache[nbucket] = self._shard_wrap(
                     functools.partial(decode_local, nbucket),
-                    n_in_batch=2, n_out=2)
+                    n_in_batch=3, n_out=2)
             return decode_cache[nbucket](pc_params, centers, words_bucket,
-                                         states)
+                                         states, thresh)
 
-        return _KernelSet(encode_dev, decode_dev, sched, bsub, b_out, wrows)
+        return _KernelSet(encode_dev, decode_dev, sched, bsub, b_out, wrows,
+                          lane_totals, x0_enc)
 
     # -- encode ---------------------------------------------------------------
 
@@ -417,35 +443,51 @@ class PallasCoder:
         outs = ks.encode_dev(pc_params, jnp.asarray(centers),
                              symbols.reshape(b, -1), rneed=pred)
         if pred:
-            (words, n_words, states, theo, crcs, presel) = outs
+            (words, n_words, states, kwarm, theo, crcs, presel) = outs
         else:
-            words, n_words, states, theo, crcs = outs
+            words, n_words, states, kwarm, theo, crcs = outs
             presel = None
         # Early D2H: start streaming the scalars and the predicted stream
         # rows down at submit time so the finish-time fetch finds them on
         # host — on the remote link a blocking device_get serializes the
         # transfer behind whatever the caller dispatched in between
         # (mirrors planar_codec._submit_with).
-        for a in (theo, n_words, states, crcs, presel):
+        for a in (theo, n_words, states, kwarm, crcs, presel):
             if a is not None and hasattr(a, 'copy_to_host_async'):
                 a.copy_to_host_async()
-        return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, prec, ks, pc_params, centers, symbols, presel, pred)
+        return (latent_shape, host_symbols, b, words, n_words, states, kwarm,
+                theo, crcs, prec, ks, pc_params, centers, symbols, presel,
+                pred, ks.x0_enc)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
-        (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         prec, ks, pc_params, centers, symbols, presel, pred) = handle
+        (latent_shape, host_symbols, b, words, n_words, states, kwarm, theo,
+         crcs, prec, ks, pc_params, centers, symbols, presel, pred,
+         x0_used) = handle
         # ONE fetch for the scalars AND the predicted stream rows (two
         # sequential device_gets cost two round trips on the remote link).
         fetched = jax.device_get(
-            (theo, n_words, states, crcs) +
+            (theo, n_words, states, kwarm, crcs) +
             (() if presel is None else (presel,)))
-        theo, n_words, states, crcs = fetched[:4]
-        presel_h = fetched[4] if presel is not None else None
+        theo, n_words, states, kwarm, crcs = fetched[:5]
+        presel_h = fetched[5] if presel is not None else None
         crcs = np.asarray(crcs).reshape(b)
         n_words = np.asarray(n_words).reshape(b)        # group-major == image
         states = np.asarray(states).reshape(b, pk.R)
+        kwarm = np.asarray(kwarm).reshape(b, pk.R)
+        tail = x0_used < rans.RANS_L
+        if tail and kwarm.size and int(kwarm.max()) > codec_lib.K_CAP:
+            # Pathological: some lane needs > K_CAP warmup symbols to reach
+            # RANS_L. Re-encode the whole batch with the classic seed.
+            print('*** pallas encode: warmup exceeded K_CAP; re-encoding '
+                  'with x0=RANS_L')
+            words, n_words, states, kwarm, theo, crcs = ks.encode_dev(
+                pc_params, jnp.asarray(centers), symbols.reshape(b, -1),
+                x0=rans.RANS_L)
+            return self.encode_batch_finish(
+                (latent_shape, host_symbols, b, words, n_words, states,
+                 kwarm, theo, crcs, prec, ks, pc_params, centers, symbols,
+                 None, 0, rans.RANS_L))
         cap = ks.wrows * 128
         if n_words.size and int(n_words.max()) > cap:
             # The bsub>=2 kernel holds a reduced (bpp-8 worst case) stream
@@ -459,12 +501,12 @@ class PallasCoder:
                       f'word cap ({cap}); re-encoding with the full-capacity '
                       'bsub=1 kernel')
                 ks1 = self._kernels(latent_shape, b, prec, bsub_max=1)
-                words, n_words, states, theo, crcs = ks1.encode_dev(
+                words, n_words, states, kwarm, theo, crcs = ks1.encode_dev(
                     pc_params, jnp.asarray(centers), symbols.reshape(b, -1))
                 return self.encode_batch_finish(
                     (latent_shape, host_symbols, b, words, n_words, states,
-                     theo, crcs, prec, ks1, pc_params, centers, symbols,
-                     None, 0))
+                     kwarm, theo, crcs, prec, ks1, pc_params, centers,
+                     symbols, None, 0, ks1.x0_enc))
             raise ValueError(
                 f'stream exceeded the kernel word cap ({cap}) even at '
                 'bsub=1 — the symbol volume is pathologically incompressible')
@@ -491,7 +533,8 @@ class PallasCoder:
             stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
             bitstream = codec_lib.serialize_stream(
                 latent_shape, stream, states[i], int(crcs[i]),
-                impl_id=codec_lib.IMPL_PALLAS, prec=prec_id)
+                impl_id=codec_lib.IMPL_PALLAS, prec=prec_id,
+                k=kwarm[i] if tail else None)
             results.append(codec_lib.EncodeResult(
                 bitstream=bitstream, num_bits=len(bitstream) * 8,
                 theoretical_bits=float(theo[i]),
@@ -541,13 +584,16 @@ class PallasCoder:
         nbucket = min(pk._round_up(nmax, gran), cap)
         packed = np.zeros((b, nbucket), np.uint16)
         states = np.zeros((b, 1, pk.R), np.uint32)
-        for i, (_, stream_words, st, _crc) in enumerate(parsed):
+        thresh = np.full((b, 1, pk.R), np.iinfo(np.int32).max // 2, np.int32)
+        for i, (_, stream_words, st, _crc, k) in enumerate(parsed):
             assert len(st) == pk.R, (len(st), pk.R)
             states[i, 0, :] = st
             packed[i, :len(stream_words)] = stream_words
+            if k is not None:    # tail-packed: no pull in the lane's last k
+                thresh[i, 0, :] = ks.lane_totals - k.astype(np.int32)
         syms, crcs = ks.decode_dev(pc_params, jnp.asarray(centers),
                                    jnp.asarray(packed), jnp.asarray(states),
-                                   nbucket=nbucket)
+                                   jnp.asarray(thresh), nbucket=nbucket)
         if hasattr(crcs, 'copy_to_host_async'):
             crcs.copy_to_host_async()   # stream the CRCs down early
         return (latent_shape, parsed, syms, crcs)
@@ -580,13 +626,16 @@ class PallasCoder:
 
 
 class _KernelSet:
-    def __init__(self, encode_dev, decode_dev, sched, bsub, b_out, wrows):
+    def __init__(self, encode_dev, decode_dev, sched, bsub, b_out, wrows,
+                 lane_totals, x0_enc):
         self.encode_dev = encode_dev
         self.decode_dev = decode_dev
         self.sched = sched
         self.bsub = bsub
         self.b_out = b_out
         self.wrows = wrows
+        self.lane_totals = lane_totals   # (R,) active symbols per rANS lane
+        self.x0_enc = x0_enc             # encoder seed (1 = tail packing)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

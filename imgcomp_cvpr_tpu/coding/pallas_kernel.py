@@ -677,10 +677,10 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
     def kernel(table_ref, mode_ref, pad_ref,
                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-               act_ref, acm_ref, true_ref, stream_ref, inst_ref,
+               act_ref, acm_ref, true_ref, stream_ref, inst_ref, thr_ref,
                sym_out, fsel_out, ssel_out,
                r0, r1, r2, r3, XA, XB, y1s, vals, states_s, gptr_s,
-               symd_s):
+               symd_s, cnt_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
@@ -695,6 +695,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             r3[:] = (jnp.zeros(r3.shape, jnp.float32)
                      + k3_ref[:][:, 0:1]).astype(ring_dt)
             states_s[:] = inst_ref[0]
+            if not enc_parallel:
+                cnt_s[:] = jnp.zeros((1, BR), jnp.int32)
             for i in range(bsub):
                 gptr_s[i] = 0
             XA[:] = jnp.zeros(XA.shape, cdt)
@@ -728,18 +730,18 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                       w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-                      act_ref, acm_ref, true_ref, stream_ref,
+                      act_ref, acm_ref, true_ref, stream_ref, thr_ref,
                       sym_out, fsel_out, ssel_out,
                       r0, r1, r2, r3, XA, XB, y1s, vals, states_s,
-                      gptr_s, symd_s)
+                      gptr_s, symd_s, cnt_s)
 
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   w4_ref, b4_ref, k1_ref, k2_ref, k3_ref, centers_ref,
-                  act_ref, acm_ref, true_ref, stream_ref,
+                  act_ref, acm_ref, true_ref, stream_ref, thr_ref,
                   sym_out, fsel_out, ssel_out,
                   r0, r1, r2, r3, XA, XB, y1s, vals, states_s, gptr_s,
-                  symd_s):
+                  symd_s, cnt_s):
         t = tb * KS + k
         slot = jax.lax.rem(t, VR)
         if ablate in ('staticslot', 'staticboth'):  # timing probe only
@@ -915,7 +917,14 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
                 x = (fd.astype(jnp.uint32) * (st >> rans.SCALE_BITS)
                      + slot_u - sd.astype(jnp.uint32))
                 if ablate != 'norans':
-                    need = a & (x < jnp.uint32(rans.RANS_L))
+                    # Tail packing (container v8): the pull test switches
+                    # off once a lane has decoded thresh = total - k
+                    # symbols — the encoder's x0=1 warmup emitted nothing
+                    # there (rans.scalar_encode). Legacy streams pass a
+                    # huge thresh: the guard never binds.
+                    need = (a & (x < jnp.uint32(rans.RANS_L))
+                            & (cnt_s[:] < thr_ref[0]))
+                    cnt_s[:] = cnt_s[:] + a.astype(jnp.int32)
                     ni = need.astype(jnp.int32)
                     if rans_impl == 'vpu':
                         # VPU routing: align the next-2-rows window per
@@ -1045,6 +1054,8 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
          else pl.BlockSpec((1, bsub * wrows, 128),
                            lambda b, t: (b, 0, 0))),                   # stream
         pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),              # states
+        (pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0)) if enc_parallel
+         else pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0))),       # thresh
     ]
     T_pad = TB * KS
     full_out = pl.BlockSpec((1, KS, 1, CQB), lambda b, t: (b, t, 0, 0))
@@ -1072,6 +1083,7 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         pltpu.VMEM((1, BR), jnp.uint32),                 # states
         pltpu.SMEM((bsub,), jnp.int32),                  # gptr
         pltpu.VMEM((1, CQB), jnp.int32),                 # symd (decoded row)
+        pltpu.VMEM((1, BR), jnp.int32),                  # cnt (tail packing)
     ]
 
     call = pl.pallas_call(
@@ -1080,12 +1092,17 @@ def make_forward(latent_shape: Tuple[int, int, int], kf: int, L: int, B: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')))
 
-    def fn(weights, tables, true_syms, streams, init_states, mode):
+    def fn(weights, tables, true_syms, streams, init_states, mode,
+           thresh=None):
         (pad_v, w1, b1, w2, b2, w3, b3, w4, b4, k1, k2, k3, centers) = weights
         table, active, active_cm = tables
+        if thresh is None:     # legacy / encode: the guard must never bind
+            tsh = ((1, 1, 128) if enc_parallel else
+                   (init_states.shape[0], 1, BR))
+            thresh = jnp.full(tsh, np.iinfo(np.int32).max // 2, jnp.int32)
         return call(table, mode, pad_v, w1, b1, w2, b2, w3, b3, w4, b4,
                     k1, k2, k3, centers, active, active_cm, true_syms,
-                    streams, init_states)
+                    streams, init_states, thresh)
 
     return fn, sched
 
@@ -1148,12 +1165,20 @@ def batched_layouts(sched, bsub: int):
 
 @functools.lru_cache(maxsize=8)
 def make_reverse(latent_shape: Tuple[int, int, int], B: int,
-                 bsub: int = 1, interpret: bool = False):
+                 bsub: int = 1, interpret: bool = False,
+                 x0: int = rans.RANS_L):
     """fn(tables, freq_sel, start_sel) -> (words (B, bsub*wrows, 128) u32 in
-    emission order, n_words (B, 1, bsub) i32, states (B, 1, bsub*R) u32).
+    emission order, n_words (B, 1, bsub) i32, states (B, 1, bsub*R) u32,
+    k (B, 1, bsub*R) i32 warmup counts).
     Image i's decode-order stream is its first n_words[i] words (rows
     [i*wrows, (i+1)*wrows)) flattened, reversed. fsel/ssel arrive in the
-    chunk-major layout make_forward emits."""
+    chunk-major layout make_forward emits.
+
+    x0 = 1 is container-v8 tail packing (rans.scalar_encode): lanes seed
+    below RANS_L, the per-lane warmup counts k are transmitted, and the
+    decoder suppresses its pull test for each lane's last k symbols
+    (make_forward's thresh input). x0 = RANS_L reproduces the classic
+    streams (k all zero)."""
     sched = build_pallas_schedule(latent_shape)
     T, P_pad, S = sched.T, sched.P_pad, sched.S
     CQB = _round_up(S * bsub * R, 128)
@@ -1173,19 +1198,20 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                               + jnp.int32(x.shape[1]), 1)
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
-               words_out, nw_out, st_out, states_s, gw_s):
+               words_out, nw_out, st_out, k_out, states_s, gw_s, kc_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
         def _init():
-            states_s[:] = jnp.full((1, BR), rans.RANS_L, jnp.uint32)
+            states_s[:] = jnp.full((1, BR), x0, jnp.uint32)
+            kc_s[:] = jnp.zeros((1, BR), jnp.int32)
             for i in range(bsub):
                 gw_s[i] = 0
             words_out[:] = jnp.zeros(words_out.shape, jnp.uint32)
 
         for k in range(KS - 1, -1, -1):
             _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
-                      words_out, states_s, gw_s)
+                      words_out, states_s, gw_s, kc_s)
         # Mosaic-safe scalar placement: build the row with iota masking.
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bsub), 2)
         row = jnp.zeros((1, 1, bsub), jnp.int32)
@@ -1193,9 +1219,10 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
             row = row + jnp.where(iota_b == i, gw_s[i], 0)
         nw_out[:] = row
         st_out[0] = states_s[:]
+        k_out[0] = kc_s[:]
 
     def _rev_step(k, table_ref, act_ref, fsel_ref, ssel_ref,
-                  words_out, states_s, gw_s):
+                  words_out, states_s, gw_s, kc_s):
         for si in range(S - 1, -1, -1):
             cq = si * BR                                 # chunk-major lane
 
@@ -1206,6 +1233,11 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
                 sv = ssel_ref[0, k, :, cq:cq + BR].astype(jnp.uint32)
                 a = act_ref[k, :, cq:cq + BR] != 0
                 st = states_s[:]
+                if x0 < rans.RANS_L:
+                    # warmup count: pre-renorm state below RANS_L (no
+                    # emission is possible there: f << 16 >= RANS_L > st)
+                    kc_s[:] = kc_s[:] + (
+                        a & (st < jnp.uint32(rans.RANS_L))).astype(jnp.int32)
                 emit = a & (st >= (f << rans.WORD_BITS))
                 word = (st & jnp.uint32(rans.WORD_MASK)).astype(jnp.int32)
                 ei = emit.astype(jnp.int32)
@@ -1317,12 +1349,15 @@ def make_reverse(latent_shape: Tuple[int, int, int], B: int,
     ]
     out_specs = (pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),
                  pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0)),
+                 pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),
                  pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)))
     out_shape = (jax.ShapeDtypeStruct((B, bsub * wrows, 128), jnp.uint32),
                  jax.ShapeDtypeStruct((B, 1, bsub), jnp.int32),
-                 jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32))
+                 jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32),
+                 jax.ShapeDtypeStruct((B, 1, BR), jnp.int32))
     scratch = [pltpu.VMEM((1, BR), jnp.uint32),
-               pltpu.SMEM((bsub,), jnp.int32)]
+               pltpu.SMEM((bsub,), jnp.int32),
+               pltpu.VMEM((1, BR), jnp.int32)]
 
     call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,

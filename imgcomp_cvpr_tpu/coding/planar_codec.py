@@ -704,7 +704,9 @@ class PlanarCoder:
         rows_b = min(wrows, _round_up(-(-nmax // 128) + 1, 8))
         packed = np.zeros((b // bsub, bsub, rows_b, 128), np.uint16)
         states = np.zeros((b // bsub, 1, bsub, R), np.uint32)
-        for i, (_, stream_words, st, _crc) in enumerate(parsed):
+        for i, (_, stream_words, st, _crc, k) in enumerate(parsed):
+            assert k is None, \
+                'tail-packed (x0=1) streams are not yet supported by the planar kernels'
             assert len(st) == R, (len(st), R)
             g, j = divmod(i, bsub)
             states[g, 0, j, :] = st

@@ -218,7 +218,8 @@ class RingScanBuilder:
             return jnp.einsum('dhc,co->dho', x, w_mat) + bias
 
         @jax.jit
-        def run(pc_params, centers, true_syms_flat, stream, init_states, mode):
+        def run(pc_params, centers, true_syms_flat, stream, init_states, mode,
+                thresh):
             (w1, b1), (w2, b2), (w3, b3), (w4, b4) = _layer_weights(
                 pc_params, kf, L)
             pad_value = pc_lib.auto_pad_value(pc_config, centers, pc_params)
@@ -230,7 +231,7 @@ class RingScanBuilder:
             r3 = jnp.broadcast_to(k3.astype(cdt), (2 * VR, D3, H3, kf)) + 0
 
             def step(carry, x):
-                r0, r1, r2, r3, states, gptr = carry
+                r0, r1, r2, r3, states, gptr, cnt = carry
                 hm = x['step_mod']
                 y1 = jax.nn.relu(taps_matmul(
                     ring_read(r0, hm, x['dlo1'], DW1 + 1), DW1, H1, w1, b1))
@@ -250,8 +251,9 @@ class RingScanBuilder:
                 probs = jax.nn.softmax(lane_logits, axis=-1)
                 freq, cdf_low = rans.quantize_cdf(probs)
 
-                sym_dec, states, gptr = rans.decode_step_interleaved(
-                    states, gptr, stream, freq, cdf_low, x['active'])
+                sym_dec, states, gptr, cnt = rans.decode_step_interleaved(
+                    states, gptr, stream, freq, cdf_low, x['active'],
+                    cnt, thresh)
                 sym_true = jnp.take(true_syms_flat, x['sym_idx']).astype(jnp.int32)
                 sym = jnp.where(mode == 1, sym_true, sym_dec)
                 sym = jnp.where(x['active'], sym, 0)
@@ -268,11 +270,12 @@ class RingScanBuilder:
                 sel = sym[:, None].astype(jnp.int32)
                 freq_sel = jnp.take_along_axis(freq, sel, axis=-1)[:, 0]
                 start_sel = jnp.take_along_axis(cdf_low, sel, axis=-1)[:, 0]
-                return (r0, r1, r2, r3, states, gptr), (
+                return (r0, r1, r2, r3, states, gptr, cnt), (
                     sym.astype(jnp.int8), freq_sel, start_sel)
 
-            init = (r0, r1, r2, r3, init_states, jnp.zeros((), jnp.int32))
-            (_, _, _, _, _, final_gptr), ys = jax.lax.scan(step, init, xs)
+            init = (r0, r1, r2, r3, init_states, jnp.zeros((), jnp.int32),
+                    jnp.zeros_like(thresh))
+            (_, _, _, _, _, final_gptr, _), ys = jax.lax.scan(step, init, xs)
             syms, freq_sel, start_sel = ys
             return syms, freq_sel, start_sel, final_gptr
 

@@ -73,9 +73,21 @@ def cmd_dump(args):
         res = codec.encode_batch(params, syms, centers)
         dec = codec.decode_batch(params, [r.bitstream for r in res], centers)
         np.testing.assert_array_equal(dec, syms.astype(np.int32))
+        # Parsed payloads (words/states/crc via THIS tree's deserializer):
+        # the container-version-agnostic identity surface — compare these
+        # across trees when a container format change legitimately moves
+        # the raw bytes (e.g. a version bump).
+        payloads = []
+        for r in res:
+            parsed = codec_lib.deserialize_stream(r.bitstream)
+            words, states, crc = parsed[1], parsed[2], parsed[3]
+            payloads.append({'words': np.asarray(words, np.uint32),
+                             'states': np.asarray(states, np.uint32),
+                             'crc': int(crc)})
         out['cases'][bsub] = {
             'streams': [r.bitstream for r in res],
             'volumes': np.asarray(dec),
+            'payload': payloads,
         }
         print(f'  dump: impl={args.impl} bsub={bsub} ok '
               f'({sum(len(r.bitstream) for r in res)} stream bytes)')
@@ -105,21 +117,38 @@ def cmd_compare(args):
         assert a[key] == b[key], (key, a[key], b[key])
     common = sorted(set(a['cases']) & set(b['cases']))
     assert common, 'no common bsub cases'
+    payload_only = getattr(args, 'payload_only', False)
     n_bad = 0
     for bsub in common:
         ca, cb = a['cases'][bsub], b['cases'][bsub]
-        for i, (sa, sb) in enumerate(zip(ca['streams'], cb['streams'])):
-            if sa != sb:
-                print(f'STREAM MISMATCH bsub={bsub} image={i}: '
-                      f'{len(sa)} vs {len(sb)} bytes')
-                n_bad += 1
+        if payload_only:
+            # Container-version-agnostic: words + states + CRC as parsed
+            # by EACH tree's own deserializer at dump time. The gate for
+            # kernel changes that land together with a format bump.
+            assert 'payload' in ca and 'payload' in cb,                 'payload-only compare needs dumps made by a tool new '                 'enough to store parsed payloads'
+            for i, (pa, pb) in enumerate(zip(ca['payload'], cb['payload'])):
+                for f in ('words', 'states'):
+                    if not np.array_equal(pa[f], pb[f]):
+                        print(f'PAYLOAD {f.upper()} MISMATCH bsub={bsub} '
+                              f'image={i}')
+                        n_bad += 1
+                if pa['crc'] != pb['crc']:
+                    print(f'PAYLOAD CRC MISMATCH bsub={bsub} image={i}')
+                    n_bad += 1
+        else:
+            for i, (sa, sb) in enumerate(zip(ca['streams'], cb['streams'])):
+                if sa != sb:
+                    print(f'STREAM MISMATCH bsub={bsub} image={i}: '
+                          f'{len(sa)} vs {len(sb)} bytes')
+                    n_bad += 1
         if not np.array_equal(ca['volumes'], cb['volumes']):
             print(f'VOLUME MISMATCH bsub={bsub}')
             n_bad += 1
     if n_bad:
         print(f'compare: {n_bad} mismatches between {args.a} and {args.b}')
         return 1
-    print(f'compare: byte-identical across bsubs {common}')
+    what = 'payloads (words/states/crc)' if payload_only else 'streams'
+    print(f'compare: {what} byte-identical across bsubs {common}')
     return 0
 
 
@@ -151,6 +180,13 @@ def cmd_ab(args):
         subprocess.check_call(['git', 'worktree', 'add', '--detach', wt,
                                head], cwd=repo)
         print(f'ab: created HEAD worktree {wt} @ {head[:12]}')
+    # The HARNESS is not the code under test: run THIS tool version in the
+    # worktree too, so new dump fields (e.g. parsed payloads) exist on
+    # both sides even when HEAD predates them.
+    import shutil
+    shutil.copy(os.path.abspath(__file__),
+                os.path.join(wt, 'imgcomp_cvpr_tpu', 'tools',
+                             'ab_streams.py'))
     dump_a = os.path.join(tempfile.gettempdir(), 'ab_streams_head.pkl')
     dump_b = os.path.join(tempfile.gettempdir(), 'ab_streams_work.pkl')
     base = [sys.executable, '-m', 'imgcomp_cvpr_tpu.tools.ab_streams',
@@ -165,10 +201,14 @@ def cmd_ab(args):
     subprocess.check_call(base + ['--out', dump_b], cwd=repo, env=env)
     rc = subprocess.call(
         [sys.executable, '-m', 'imgcomp_cvpr_tpu.tools.ab_streams',
-         'compare', dump_a, dump_b], cwd=repo, env=env)
-    rc |= subprocess.call(
-        [sys.executable, '-m', 'imgcomp_cvpr_tpu.tools.ab_streams',
-         'cross', dump_a], cwd=repo, env=env)
+         'compare', dump_a, dump_b]
+        + (['--payload-only'] if args.payload_only else []),
+        cwd=repo, env=env)
+    if not args.payload_only:
+        # cross-decoding other-version containers is impossible by design
+        rc |= subprocess.call(
+            [sys.executable, '-m', 'imgcomp_cvpr_tpu.tools.ab_streams',
+             'cross', dump_a], cwd=repo, env=env)
     print('ab: PASS — streams and volumes byte-identical vs HEAD, and '
           'HEAD streams cross-decode' if rc == 0 else
           'ab: FAIL — see mismatches above')
@@ -199,6 +239,7 @@ def main(argv=None):
     sp = sub.add_parser('compare')
     sp.add_argument('a')
     sp.add_argument('b')
+    sp.add_argument('--payload-only', action='store_true', dest='payload_only')
     sp.set_defaults(fn=cmd_compare)
     sp = sub.add_parser('cross')
     sp.add_argument('a')
@@ -206,6 +247,10 @@ def main(argv=None):
     sp = sub.add_parser('ab')
     common(sp)
     sp.add_argument('--worktree', default=None)
+    sp.add_argument('--payload-only', action='store_true', dest='payload_only',
+                    help='compare parsed words/states/crc instead of raw '
+                         'container bytes (for changes that bump the '
+                         'container version; skips the cross-decode step)')
     sp.set_defaults(fn=cmd_ab)
     args = p.parse_args(argv)
     if args.cpu or os.environ.get('IMGCOMP_AB_CPU') == '1':

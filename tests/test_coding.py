@@ -31,7 +31,7 @@ def test_scalar_rans_roundtrip():
     n = 500
     _, freq, cdf_low = _random_tables(rng, n)
     syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
-    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    words, state, _ = rans.scalar_encode(syms, freq, cdf_low)
     dec = rans.scalar_decode(words, state, freq, cdf_low)
     np.testing.assert_array_equal(syms, dec)
     # coded size ~ entropy
@@ -56,10 +56,10 @@ def test_vectorized_encode_matches_scalar():
         freq[active[:, j], j] = f[np.arange(n), s]
         start[active[:, j], j] = c[np.arange(n), s]
         syms[active[:, j], j] = s
-    streams, states = rans.vectorized_encode(freq, start, active)
+    streams, states, _ = rans.vectorized_encode(freq, start, active)
     for j in range(M):
         f, c, s = tables[j]
-        words_ref, state_ref = rans.scalar_encode(s, f, c)
+        words_ref, state_ref, _ = rans.scalar_encode(s, f, c)
         np.testing.assert_array_equal(streams[j], words_ref)
         assert int(states[j]) == state_ref
         dec = rans.scalar_decode(list(streams[j]), int(states[j]), f, c)
@@ -71,7 +71,7 @@ def test_decode_step_matches_scalar():
     n = 64
     _, freq, cdf_low = _random_tables(rng, n)
     syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
-    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    words, state, _ = rans.scalar_encode(syms, freq, cdf_low)
     streams = np.zeros((1, n), np.uint32)
     streams[0, :len(words)] = words
     states = jnp.asarray([state], jnp.uint32)
@@ -197,12 +197,74 @@ def test_container_state_packing_edges():
         blob = codec_lib.serialize_stream((4, 6, 8), words, states,
                                           sym_crc=0xDEADBEEF, impl_id=2,
                                           prec=1)
-        shape, w2, st2, crc = codec_lib.deserialize_stream(blob)
+        shape, w2, st2, crc, k2 = codec_lib.deserialize_stream(blob)
+        assert k2 is None
         assert shape == (4, 6, 8) and crc == 0xDEADBEEF
         assert codec_lib.stream_impl_id(blob) == 2
         assert codec_lib.stream_prec(blob) == 1
         np.testing.assert_array_equal(w2, words)
         np.testing.assert_array_equal(st2, states)
+
+
+def test_tail_packing_roundtrip_and_size(tiny_pc_setup, monkeypatch):
+    """Container v8 tail packing (x0=1): bit-exact roundtrip, k-table in
+    the container, mixed tail/legacy decode batches, and the lane-length
+    auto-gate (tiny latents whose 1-2-symbol lanes cannot amortize the
+    k-table stay on the classic seed). On real content the measured win
+    is ~650 bits/image before the ~390-bit k-table (PERF.md)."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    rng = np.random.RandomState(5)
+    # near-deterministic volume: long runs of one symbol
+    symbols = np.full(latent, 2, np.int64)
+    symbols.reshape(-1)[rng.rand(symbols.size) < 0.15] = 4
+    codec = codec_lib.LatentCodec(pc, cfg)
+    # the tiny fixture's lanes are far below the auto-gate: legacy mode
+    res_auto = codec.encode(params, symbols, centers)
+    assert codec_lib.deserialize_stream(res_auto.bitstream)[4] is None
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    res_tail = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_tail.bitstream)
+    assert k is not None and (k >= 0).all() and k.max() <= codec_lib.K_CAP
+    assert k.max() > 0        # deterministic runs produce real warmups
+    dec = codec.decode(params, res_tail.bitstream, centers)
+    np.testing.assert_array_equal(dec, symbols)
+    # tail mode saves the 16-bit/lane seed flush; the k-table costs
+    # kw*r+8 — net within the k-table size of legacy even here
+    monkeypatch.setenv('IMGCOMP_RANS_X0', 'L')
+    codec_l = codec_lib.LatentCodec(pc, cfg)
+    res_leg = codec_l.encode(params, symbols, centers)
+    assert codec_lib.deserialize_stream(res_leg.bitstream)[4] is None
+    assert res_tail.num_bits <= res_leg.num_bits + 8 * (
+        len(k) * 2 // 8 + 2)
+    # legacy streams decode through the same executable (thresh never binds)
+    dec_leg = codec.decode(params, res_leg.bitstream, centers)
+    np.testing.assert_array_equal(dec_leg, symbols)
+    # ... and a mixed batch of tail + legacy streams decodes in one call
+    mixed = codec.decode_batch(
+        params, [res_tail.bitstream, res_leg.bitstream], centers)
+    np.testing.assert_array_equal(mixed[0], symbols)
+    np.testing.assert_array_equal(mixed[1], symbols)
+
+
+def test_container_k_table_roundtrip():
+    """k-table packing: kw sizing, 16-bit extremes, tail-mode wide state
+    packing (hi = 0 states legal), impl byte bit 7 masking."""
+    rng = np.random.RandomState(9)
+    for r, kmax in [(32, 0), (32, 1), (32, 2678), (32, 65535), (7, 13)]:
+        k = rng.randint(0, kmax + 1, size=r).astype(np.int32)
+        k[0] = kmax
+        # tail-mode states may sit below RANS_L (hi = 0)
+        states = rng.randint(1, 1 << 32, size=r).astype(np.uint32)
+        states[0] = 5
+        words = rng.randint(0, 1 << 16, size=11).astype(np.uint32)
+        blob = codec_lib.serialize_stream((4, 6, 8), words, states,
+                                          sym_crc=77, impl_id=2, k=k)
+        assert codec_lib.stream_impl_id(blob) == 2          # bit 7 masked
+        shape, w2, st2, crc, k2 = codec_lib.deserialize_stream(blob)
+        np.testing.assert_array_equal(w2, words)
+        np.testing.assert_array_equal(st2, states)
+        np.testing.assert_array_equal(k2, k)
 
 
 def test_codec_rejects_corrupt_stream(tiny_pc_setup):
@@ -236,9 +298,11 @@ def test_native_encode_matches_numpy():
         s = np.array([rng.choice(6, p=ff / ff.sum()) for ff in f])
         freq[active[:, j], j] = f[np.arange(n), s]
         start[active[:, j], j] = c[np.arange(n), s]
-    streams_np, states_np = rans.vectorized_encode(freq, start, active)
-    streams_cc, states_cc = rans.encode_reverse(freq, start, active)
+    streams_np, states_np, k_np = rans.vectorized_encode(freq, start,
+                                                         active)
+    streams_cc, states_cc, k_cc = rans.encode_reverse(freq, start, active)
     np.testing.assert_array_equal(states_np, states_cc)
+    np.testing.assert_array_equal(k_np, k_cc)
     for a, b in zip(streams_np, streams_cc):
         np.testing.assert_array_equal(a, b)
 
@@ -252,13 +316,14 @@ def test_native_decode_lane_matches_scalar():
     n = 200
     _, freq, cdf_low = _random_tables(rng, n)
     syms = np.array([rng.choice(6, p=f / f.sum()) for f in freq])
-    words, state = rans.scalar_encode(syms, freq, cdf_low)
+    words, state, k = rans.scalar_encode(syms, freq, cdf_low)
+    assert k == 0
     words_arr = np.asarray(words, np.uint16)
     out = np.zeros(n, np.int32)
     lib.rans_decode_lane(
         n, 6,
         words_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(words),
-        ctypes.c_uint32(state),
+        ctypes.c_uint32(state), ctypes.c_int32(k),
         np.ascontiguousarray(freq, np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         np.ascontiguousarray(cdf_low, np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
@@ -370,7 +435,7 @@ def test_device_encoder_matches_cpp(tiny_pc_setup):
         s = np.array([rng.choice(6, p=ff / ff.sum()) for ff in f])
         freq[active[:, j], j] = f[np.arange(n), s]
         start[active[:, j], j] = c[np.arange(n), s]
-    streams_ref, states_ref = rans.encode_reverse(freq, start, active)
+    streams_ref, states_ref, _ = rans.encode_reverse(freq, start, active)
     buf, counts, states = jax.device_get(rans.encode_reverse_scan(
         jnp.asarray(freq), jnp.asarray(start), jnp.asarray(active)))
     np.testing.assert_array_equal(states, states_ref)

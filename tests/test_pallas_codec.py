@@ -271,3 +271,32 @@ def test_dec_only_matches_shared_executable(monkeypatch):
     dec_shared = PallasCoder(pc, cfg).decode_batch(params, streams, centers)
     np.testing.assert_array_equal(dec_split, dec_shared)
     np.testing.assert_array_equal(dec_split, syms.astype(np.int32))
+
+
+def test_tail_packing_pallas(monkeypatch):
+    """Container v8 tail packing through the pallas kernels (interpret
+    mode): x0=1 roundtrip with a real k-table, legacy (x0=RANS_L) encode
+    through the SAME executables, and a mixed tail/legacy decode batch.
+    TPU-side verification is bench.py's CRC gate + the ab_streams
+    payload-only run (legacy payloads byte-identical to HEAD)."""
+    pc, pc_config, pc_params, centers, rng = _setup()
+    syms = rng.randint(0, 6, size=(2, 4, 6, 7)).astype(np.int8)
+    syms[1] = 3          # near-deterministic image: long warmups
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    codec = codec_lib.LatentCodec(pc, pc_config, impl='pallas')
+    res = codec.encode_batch(pc_params, syms, centers)
+    ks = [codec_lib.deserialize_stream(r.bitstream)[4] for r in res]
+    assert all(k is not None for k in ks)
+    assert max(int(k.max()) for k in ks) > 0
+    dec = codec.decode_batch(pc_params, [r.bitstream for r in res], centers)
+    np.testing.assert_array_equal(dec, syms.astype(np.int32))
+
+    monkeypatch.setenv('IMGCOMP_RANS_X0', 'L')
+    codec_l = codec_lib.LatentCodec(pc, pc_config, impl='pallas')
+    res_l = codec_l.encode_batch(pc_params, syms, centers)
+    assert all(codec_lib.deserialize_stream(r.bitstream)[4] is None
+               for r in res_l)
+    mixed = codec.decode_batch(
+        pc_params, [res[0].bitstream, res_l[1].bitstream], centers)
+    np.testing.assert_array_equal(mixed[0], syms[0].astype(np.int32))
+    np.testing.assert_array_equal(mixed[1], syms[1].astype(np.int32))
