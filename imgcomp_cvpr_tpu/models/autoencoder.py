@@ -22,7 +22,7 @@ and ReLU unless noted, mirroring slim's conv2d(normalizer_fn=batch_norm)
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -50,24 +50,34 @@ class EncoderOutput(NamedTuple):
 
 
 class SlimConv(nn.Module):
-    """conv (no bias) -> BatchNorm -> optional ReLU, TF-'SAME'."""
+    """conv (no bias) -> BatchNorm -> optional ReLU, TF-'SAME'.
+
+    ``dtype`` is the compute/activation dtype; params stay float32. The
+    128-channel residual towers are HBM-bandwidth-bound on TPU (measured
+    ~440 GB/s of activation traffic at f32, 6% MXU utilization), so
+    bfloat16 activations ~double AE throughput; quality impact is
+    measured in PERF.md."""
     features: int
     kernel: int
     stride: int = 1
     act: bool = True
     transpose: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         in_ch = x.shape[-1]
         w = self.param('w', nn.initializers.glorot_uniform(),
                        (self.kernel, self.kernel, in_ch, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        w = w.astype(self.dtype)
         if self.transpose:
             y = tf_compat.conv2d_transpose_same(x, w, self.stride)
         else:
             y = tf_compat.conv2d_same(x, w, self.stride)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, use_bias=True, use_scale=True)(y)
+                         epsilon=1e-5, use_bias=True, use_scale=True,
+                         dtype=self.dtype)(y)
         if self.act:
             y = nn.relu(y)
         return y
@@ -79,16 +89,20 @@ class ResidualBlock(nn.Module):
     residual_block(..., activation_fn=None) where *both* convs lose the ReLU."""
     features: int
     act: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        y = SlimConv(self.features, 3, act=self.act, name='conv1')(x, train)
-        y = SlimConv(self.features, 3, act=False, name='conv2')(y, train)
-        return y + x
+        y = SlimConv(self.features, 3, act=self.act, dtype=self.dtype,
+                     name='conv1')(x, train)
+        y = SlimConv(self.features, 3, act=False, dtype=self.dtype,
+                     name='conv2')(y, train)
+        return y + x.astype(y.dtype)
 
 
 class Encoder(nn.Module):
     config: any
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> EncoderOutput:
@@ -99,20 +113,28 @@ class Encoder(nn.Module):
             lambda key: quantizer_lib.init_centers(
                 key, cfg.num_centers, cfg.centers_initial_range))
 
+        dt = self.dtype
         net = normalize(x, cfg.normalization)
-        net = SlimConv(n // 2, 5, stride=2, name='h1')(net, train)
-        net = SlimConv(n, 5, stride=2, name='h2')(net, train)
+        net = SlimConv(n // 2, 5, stride=2, dtype=dt, name='h1')(net, train)
+        net = SlimConv(n, 5, stride=2, dtype=dt, name='h2')(net, train)
         residual_input_0 = net
         for b in range(cfg.arch_param_B):
             residual_input_b = net
             for i in range(3):
-                net = ResidualBlock(n, name=f'res_block_enc_{b}_{i + 1}')(net, train)
+                net = ResidualBlock(n, dtype=dt,
+                                    name=f'res_block_enc_{b}_{i + 1}')(net, train)
             net = net + residual_input_b
-        net = ResidualBlock(n, act=False, name='res_block_enc_final')(net, train)
+        net = ResidualBlock(n, act=False, dtype=dt,
+                            name='res_block_enc_final')(net, train)
         net = net + residual_input_0
 
         num_out = cfg.num_chan_bn + (1 if cfg.heatmap else 0)
-        net = SlimConv(num_out, 5, stride=2, act=False, name='to_bn')(net, train)
+        net = SlimConv(num_out, 5, stride=2, act=False, dtype=dt,
+                       name='to_bn')(net, train)
+        # The bottleneck, importance map, and quantizer stay float32: the
+        # center assignment (symbols) and the rate path are precision-
+        # sensitive, and their cost is negligible next to the towers.
+        net = net.astype(jnp.float32)
 
         if cfg.heatmap:
             heatmap = get_heatmap3d(net)
@@ -126,34 +148,48 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     config: any
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q: jax.Array, train: bool) -> jax.Array:
         cfg = self.config
         n = ARCH_PARAM_N
-        net = SlimConv(n, 3, stride=2, transpose=True, name='from_bn')(q, train)
+        dt = self.dtype
+        net = SlimConv(n, 3, stride=2, transpose=True, dtype=dt,
+                       name='from_bn')(q, train)
         residual_input_0 = net
         for b in range(cfg.arch_param_B):
             residual_input_b = net
             for i in range(3):
-                net = ResidualBlock(n, name=f'res_block_dec_{b}_{i + 1}')(net, train)
+                net = ResidualBlock(n, dtype=dt,
+                                    name=f'res_block_dec_{b}_{i + 1}')(net, train)
             net = net + residual_input_b
-        net = ResidualBlock(n, act=False, name='dec_after_res')(net, train)
+        net = ResidualBlock(n, act=False, dtype=dt,
+                            name='dec_after_res')(net, train)
         net = net + residual_input_0
-        net = SlimConv(n // 2, 5, stride=2, transpose=True, name='h12')(net, train)
-        net = SlimConv(3, 5, stride=2, transpose=True, act=False, name='h13')(net, train)
-        net = denormalize(net, cfg.normalization)
+        net = SlimConv(n // 2, 5, stride=2, transpose=True, dtype=dt,
+                       name='h12')(net, train)
+        net = SlimConv(3, 5, stride=2, transpose=True, act=False, dtype=dt,
+                       name='h13')(net, train)
+        # Denormalize/clip in float32 regardless of compute dtype.
+        net = denormalize(net.astype(jnp.float32), cfg.normalization)
         return jnp.clip(net, 0.0, 255.0)
 
 
 class CVPRAutoencoder(nn.Module):
     """Top-level AE; encode/decode are separate methods so val/train drivers
-    can call them independently (ref API: autoencoder.py:50-63)."""
+    can call them independently (ref API: autoencoder.py:50-63).
+
+    ``dtype`` sets the conv-tower compute dtype (params always float32;
+    the quantizer, heatmap, and (de)normalization always float32).
+    bfloat16 roughly doubles inference throughput on TPU — the towers
+    are HBM-bound — at a measured-negligible quality cost (PERF.md)."""
     config: any
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.config, name='encoder')
-        self.decoder = Decoder(self.config, name='decoder')
+        self.encoder = Encoder(self.config, dtype=self.dtype, name='encoder')
+        self.decoder = Decoder(self.config, dtype=self.dtype, name='decoder')
 
     def __call__(self, x: jax.Array, train: bool):
         enc = self.encoder(x, train)
