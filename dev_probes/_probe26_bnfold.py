@@ -76,8 +76,8 @@ def tower(net, dt, fold):
     def slim(x, p, s, act=True):
         w_ = p['w'].astype(jnp.float32)
         if fold:
-            sc = (p['scale'] * jax.lax.rsqrt(s['var'] + 1e-5))
-            b_ = p['bias'] - s['mean'] * sc
+            sc = (p['scale'] * jax.lax.rsqrt(p['var'] + 1e-5))
+            b_ = p['bias'] - p['mean'] * sc
             y = tf_compat.conv2d_same(x.astype(dt),
                                       (w_ * sc).astype(dt), 1)
             y = y + b_.astype(y.dtype)
