@@ -40,15 +40,20 @@ from . import wavefront
 
 MAGIC = b'\xa7'  # imgcomp-cvpr-tpu codec (1 byte: the container's fixed
                  # cost is a first-class metric — VERDICT r3 #4)
-VERSION = 8  # v7 (slim 15-byte header, entropy-packed rANS lane states)
-             # + x0=1 TAIL PACKING (impl byte bit 7): the encoder seeds
-             # its lanes at x0=1 instead of RANS_L, so the seed's 16
-             # a-priori-known bits stop flowing through the stream; the
-             # per-lane warmup counts k ride the container (kw-bit
-             # entries) and the decoder suppresses its renorm pull for
-             # each lane's last k symbols (see rans.scalar_encode).
-             # Earlier versions are rejected cleanly by the version
-             # check. PERF.md holds the floor decomposition.
+VERSION = 9  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
+             # per-lane warmup counts k ride the container and the
+             # decoder suppresses its renorm pull for each lane's last k
+             # symbols — see rans.scalar_encode) + v9 bit-packed side
+             # info: the header shrinks 15 -> 12 bytes (4-bit version,
+             # 3-bit impl, 12-bit shape fields with a wide escape), the
+             # wide-mode state-length descriptors shrink 5 -> ~4.1 bits
+             # (d=0 keeps hi=0 legal, d=15 borrows one bit for
+             # ln in {15,16}), and the k-table stores kmin plus
+             # span-width deltas instead of absolute-width entries.
+             # ~100 bits/image at the bench operating point (PERF.md
+             # floor decomposition). Earlier versions are rejected
+             # cleanly by the version check. The version field is 4
+             # bits — the format has headroom to v15.
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
@@ -561,11 +566,14 @@ def _pack_states(final_states: np.ndarray, wide: bool = False) -> bytes:
     plus len value bits with the MSB implicit (~11.5 bits avg vs 16).
     Saves ~4.5 bits/lane typically; the worst case (every hi at 16 bits)
     costs 19 bits/lane, so serialize_stream escapes to raw u32 states
-    (nstates high bit) whenever packing would not win.
+    (header rawesc bit) whenever packing would not win.
 
     wide=True (tail-packed streams, x0=1): hi may be 0 — a lane whose
-    whole content fits the sub-2^16 warmup — so the length field is 5
-    bits holding bit_length(hi) in [0, 16] (0 => no value bits)."""
+    whole content fits the sub-2^16 warmup. v9 keeps the descriptor at
+    4 bits d: d=0 => hi=0 (no value bits); d in [1,14] => bit_length
+    d with d-1 value bits; d=15 => one extra bit b selects bit_length
+    15+b (so only the 1/8 of lanes with 31-32-bit states pay a 5th
+    descriptor bit — ~4.1 bits avg vs v8's flat 5)."""
     st = np.asarray(final_states, np.uint64)
     lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
     hi = (st >> np.uint64(16)).astype(np.uint32)
@@ -575,8 +583,13 @@ def _pack_states(final_states: np.ndarray, wide: bool = False) -> bytes:
         h = int(h)
         if wide:
             ln = h.bit_length()                 # in [0, 16]
-            acc |= ln << nbits
-            nbits += 5
+            if ln < 15:
+                acc |= ln << nbits              # d = ln (0 => hi = 0)
+                nbits += 4
+            else:
+                acc |= 15 << nbits
+                acc |= (ln - 15) << (nbits + 4)  # 1-bit 15/16 selector
+                nbits += 5
             if ln:
                 acc |= (h - (1 << (ln - 1))) << nbits   # MSB implicit
                 nbits += ln - 1
@@ -606,8 +619,11 @@ def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False):
     hi = np.empty(r, np.uint32)
     for i in range(r):
         if wide:
-            ln = _read_bits(data, base, bits, 5)
-            bits += 5
+            ln = _read_bits(data, base, bits, 4)
+            bits += 4
+            if ln == 15:                         # 15/16 selector bit
+                ln = 15 + _read_bits(data, base, bits, 1)
+                bits += 1
             if ln:
                 hi[i] = (1 << (ln - 1)) | _read_bits(data, base, bits, ln - 1)
                 bits += ln - 1
@@ -635,45 +651,65 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
                      final_states: np.ndarray, sym_crc: int = 0,
                      impl_id: int = IMPL_RING, prec: int = 0,
                      k=None) -> bytes:
-    """Container v8, 15 fixed header bytes: magic(1) version(1) impl(1)
-    prec(1) shape(3x u16) crc(4) nstates(1); then the packed states
+    """Container v9, 12 fixed header bytes (bit-packed, LSB-first):
+    magic(8) version(4) impl(3) tail(1) prec(2) rawesc(1) shapewide(1)
+    nstates(7) spare(1) shape(3x12, or 3x16 when shapewide for latent
+    dims >= 4096 — a 14-byte header) crc(32); then the packed states
     block [then the k-table] and the 16-bit stream words (their count is
     derived from the remaining length — no nwords field).
 
-    nstates' high bit escapes to raw u32 states for the rare all-long-hi
-    batch where entropy packing would cost more than raw.
+    rawesc escapes to raw u32 states for the rare all-long-hi batch
+    where entropy packing would cost more than raw.
 
-    k != None marks a TAIL-PACKED stream (impl byte bit 7): the encoder
+    k != None marks a TAIL-PACKED stream (tail header bit): the encoder
     seeded its lanes at x0=1 and k[lane] warmup symbols at each lane's
     decode tail must not pull renorm words (rans.scalar_encode). The
-    k-table is kw bits per lane (kw in a leading byte); every k must be
-    <= K_CAP — encoders fall back to x0=RANS_L (k=None) otherwise."""
+    k-table is kmin (u16) + a kw-1 nibble + r kw-bit DELTAS (kw sized
+    by the spread max(k)-min(k), not the absolute magnitude — lane
+    warmups track the same content so the spread is ~2 bits narrower);
+    every k must be <= K_CAP — encoders fall back to x0=RANS_L
+    (k=None) otherwise."""
     r = len(final_states)
     assert r < 128
     packed = _pack_states(final_states, wide=k is not None)
-    if len(packed) > 4 * r:                         # packing must never lose
-        r |= 0x80
+    rawesc = len(packed) > 4 * r                    # packing must never lose
+    if rawesc:
         packed = final_states.astype(np.uint32).tobytes()
+    shape = tuple(int(v) for v in latent_shape)
+    assert len(shape) == 3 and all(0 <= v < (1 << 16) for v in shape), shape
+    shapewide = any(v >= (1 << 12) for v in shape)
+    hdr = int.from_bytes(MAGIC, 'little')
+    hdr |= VERSION << 8
+    hdr |= (impl_id & 0x7) << 12
+    hdr |= (1 if k is not None else 0) << 15
+    hdr |= (prec & 0x3) << 16
+    hdr |= (1 if rawesc else 0) << 18
+    hdr |= (1 if shapewide else 0) << 19
+    hdr |= r << 20
+    pos = 28                                        # bit 27 spare
+    sw = 16 if shapewide else 12
+    for v in shape:
+        hdr |= v << pos
+        pos += sw
+    hdr |= (sym_crc & 0xFFFFFFFF) << pos
+    pos += 32
     buf = io.BytesIO()
-    buf.write(MAGIC)
-    buf.write(np.asarray([VERSION], np.uint8).tobytes())
-    buf.write(np.asarray([impl_id | (0x80 if k is not None else 0)],
-                         np.uint8).tobytes())
-    buf.write(np.asarray([prec], np.uint8).tobytes())
-    buf.write(np.asarray(latent_shape, np.uint16).tobytes())
-    buf.write(np.asarray([sym_crc], np.uint32).tobytes())
-    buf.write(np.asarray([r], np.uint8).tobytes())
+    buf.write(hdr.to_bytes((pos + 7) // 8, 'little'))
     buf.write(packed)
     if k is not None:
         k = np.asarray(k, np.int64)
-        assert len(k) == (r & 0x7F) and k.min() >= 0 and k.max() <= K_CAP,             (len(k), r, int(k.min()), int(k.max()))
-        kw = max(1, int(k.max()).bit_length())
+        assert len(k) == r and k.min() >= 0 and k.max() <= K_CAP, \
+            (len(k), r, int(k.min()), int(k.max()))
+        kmin = int(k.min())
+        kw = max(1, int(k.max() - kmin).bit_length())
         assert kw <= 16, kw                      # _read_bits limit
-        acc = 0
-        for i, kv in enumerate(k):
-            acc |= int(kv) << (i * kw)
-        buf.write(np.asarray([kw], np.uint8).tobytes())
-        buf.write(acc.to_bytes((len(k) * kw + 7) // 8, 'little'))
+        acc = kw - 1                             # 4-bit width nibble
+        nb = 4
+        for kv in k:
+            acc |= (int(kv) - kmin) << nb
+            nb += kw
+        buf.write(np.asarray([kmin], np.uint16).tobytes())
+        buf.write(acc.to_bytes((nb + 7) // 8, 'little'))
     buf.write(stream_words.astype(np.uint16).tobytes())
     return buf.getvalue()
 
@@ -682,27 +718,33 @@ def deserialize_stream(data: bytes):
     """-> (latent_shape, stream_words, states, sym_crc, k) with k = None
     for x0=RANS_L streams, else the (R,) int32 warmup table."""
     assert data[:1] == MAGIC, 'bad magic'
-    version = data[1]
+    version = (data[1]) & 0xF
     assert version == VERSION, version
-    tail_mode = bool(data[2] & 0x80)
-    latent_shape = tuple(int(v) for v in np.frombuffer(data[4:10], np.uint16))
-    sym_crc = int(np.frombuffer(data[10:14], np.uint32)[0])
-    r = data[14]
-    if r & 0x80:                                     # raw-states escape
-        r &= 0x7F
-        states = np.frombuffer(data[15:15 + 4 * r], np.uint32).copy()
-        consumed = 4 * r
+    hdr = int.from_bytes(data[:14], 'little')
+    tail_mode = bool((hdr >> 15) & 1)
+    rawesc = bool((hdr >> 18) & 1)
+    shapewide = bool((hdr >> 19) & 1)
+    r = (hdr >> 20) & 0x7F
+    sw = 16 if shapewide else 12
+    latent_shape = tuple((hdr >> (28 + i * sw)) & ((1 << sw) - 1)
+                         for i in range(3))
+    sym_crc = (hdr >> (28 + 3 * sw)) & 0xFFFFFFFF
+    pos = (28 + 3 * sw + 32 + 7) // 8               # 12 or 14
+    if rawesc:
+        states = np.frombuffer(data[pos:pos + 4 * r], np.uint32).copy()
+        pos += 4 * r
     else:
-        states, consumed = _unpack_states(r, data, 15, wide=tail_mode)
-    pos = 15 + consumed
+        states, consumed = _unpack_states(r, data, pos, wide=tail_mode)
+        pos += consumed
     k = None
     if tail_mode:
-        kw = data[pos]
-        pos += 1
+        kmin = int(np.frombuffer(data[pos:pos + 2], np.uint16)[0])
+        pos += 2
+        kw = _read_bits(data, pos, 0, 4) + 1
         k = np.empty(r, np.int32)
         for i in range(r):
-            k[i] = _read_bits(data, pos, i * kw, kw)
-        pos += (r * kw + 7) // 8
+            k[i] = kmin + _read_bits(data, pos, 4 + i * kw, kw)
+        pos += (4 + r * kw + 7) // 8
     tail = data[pos:]
     assert len(tail) % 2 == 0, 'truncated container'
     stream_words = np.frombuffer(tail, np.uint16).astype(np.uint32)
@@ -711,7 +753,7 @@ def deserialize_stream(data: bytes):
 
 def stream_impl_id(data: bytes) -> int:
     assert data[:1] == MAGIC, 'bad magic'
-    return data[2] & 0x7F
+    return (data[1] >> 4) & 0x7
 
 
 def stream_prec(data: bytes) -> int:
@@ -719,4 +761,4 @@ def stream_prec(data: bytes) -> int:
     1 = bf16, 2 = f8_e4m3 inner rings). Streams are only decodable at
     their own precision."""
     assert data[:1] == MAGIC, 'bad magic'
-    return data[3]
+    return data[2] & 0x3
