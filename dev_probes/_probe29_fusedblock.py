@@ -188,6 +188,143 @@ def pallas_chain(v, w1, w2):
     return v
 
 
+# ------------------------------------------------------------- pallas v2
+# Fixes over v1 (which lost to XLA 67.5 vs 51.4 ms):
+#  - padded in/out buffers live across the whole chain (borders written
+#    once by a border grid step, never re-padded in XLA = no extra
+#    805 MB/block HBM round trip);
+#  - input DMA double-buffered (tile t+1 streams in while t computes);
+#  - conv as 3 dx-dots of K=3C=384 on a dy-concatenated VMEM slab
+#    (deeper contraction per MXU pass than 9 K=128 dots).
+
+
+def _conv3(xc, w3):
+    """xc: (rows, W, 3*cin) dy-concatenated slab (dy already folded into
+    channels); w3: (3, 3*cin, C) per-dx weights -> (rows*W, C) f32.
+    dx shifts via zero-filled W slices (SAME zero pad)."""
+    rows, _, k = xc.shape
+    m = rows * W
+    z = jnp.zeros((rows, 1, k), xc.dtype)
+    acc = jax.lax.dot(xc.reshape(m, k), w3[1],
+                      preferred_element_type=jnp.float32)
+    sh = jnp.concatenate([z, xc[:, :-1]], axis=1)
+    acc = acc + jax.lax.dot(sh.reshape(m, k), w3[0],
+                            preferred_element_type=jnp.float32)
+    sh = jnp.concatenate([xc[:, 1:], z], axis=1)
+    acc = acc + jax.lax.dot(sh.reshape(m, k), w3[2],
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _dycat(v, out_rows):
+    """(out_rows+2, W, C) -> (out_rows, W, 3C): row r carries the channels
+    of input rows r, r+1, r+2 (output row r is centered on input r+1)."""
+    return jnp.concatenate(
+        [v[0:out_rows], v[1:out_rows + 1], v[2:out_rows + 2]], axis=2)
+
+
+def _block_kernel_v2(xpad_hbm, w1_ref, w2_ref, aff_ref, out_hbm,
+                     slab_ref, y_ref, obuf_ref, sem_in, sem_out, sem_z):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first = jnp.logical_and(bi == 0, ti == 0)
+
+    def start_in(b, t, slot):
+        return pltpu.make_async_copy(
+            xpad_hbm.at[b, pl.ds(t * HS, SLAB)], slab_ref.at[slot],
+            sem_in.at[slot])
+
+    @pl.when(first)
+    def _prologue():
+        start_in(0, 0, 0).start()
+        # borders: rows [0,2) and [H+2,H+4) of every image's padded output
+        # are zeros; write them once from a zeroed scratch row pair.
+        obuf_ref[1, 0:2] = jnp.zeros((2, W, C), jnp.bfloat16)
+
+    # borders of image bi (top+bottom), issued once per image at ti == 0
+    @pl.when(ti == 0)
+    def _borders():
+        top = pltpu.make_async_copy(
+            obuf_ref.at[1, 0:2], out_hbm.at[bi, pl.ds(0, 2)], sem_z.at[0])
+        bot = pltpu.make_async_copy(
+            obuf_ref.at[1, 0:2], out_hbm.at[bi, pl.ds(H + 2, 2)],
+            sem_z.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    slot = ti % 2
+    # next tile's DMA starts before this tile computes
+    nb = jnp.where(ti + 1 < nt, bi, bi + 1)
+    ntile = jnp.where(ti + 1 < nt, ti + 1, 0)
+
+    @pl.when(nb < pl.num_programs(0))
+    def _prefetch():
+        start_in(nb, ntile, 1 - slot).start()
+
+    start_in(bi, ti, slot).wait()
+    slab = slab_ref[slot]
+    y = _conv3(_dycat(slab, HS + 2), w1_ref[...])
+    y = y.reshape(HS + 2, W, C) * aff_ref[0, 0] + aff_ref[1, 0]
+    arow = (jax.lax.broadcasted_iota(jnp.int32, (HS + 2, W, C), 0)
+            + ti * HS - 1)
+    y = jnp.where((arow >= 0) & (arow < H), y, 0.0)
+    y_ref[...] = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    z = _conv3(_dycat(y_ref[...], HS), w2_ref[...])
+    z = z.reshape(HS, W, C) * aff_ref[2, 0] + aff_ref[3, 0]
+    # previous tile's output DMA must have drained before we overwrite
+    @pl.when(jnp.logical_not(first))
+    def _wait_prev_out():
+        pltpu.make_async_copy(obuf_ref.at[0], obuf_ref.at[0],
+                              sem_out).wait()
+
+    obuf_ref[0] = (z + slab[2:2 + HS].astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    out = pltpu.make_async_copy(
+        obuf_ref.at[0], out_hbm.at[bi, pl.ds(2 + ti * HS, HS)], sem_out)
+    out.start()
+    last = jnp.logical_and(bi == pl.num_programs(0) - 1, ti == nt - 1)
+
+    @pl.when(last)
+    def _drain():
+        out.wait()
+
+
+@jax.jit
+def pallas_chain_v2(v, w1, w2):
+    # per-dx (3C, C) weights: w[dy, dx] stacked over dy along the input dim
+    w1r = jnp.transpose(w1, (1, 0, 2, 3)).reshape(3, 3 * C, C)
+    w2r = jnp.transpose(w2, (1, 0, 2, 3)).reshape(3, 3 * C, C)
+    aff = jnp.stack([s1, b1, s2, b2])[:, None, :]
+    kern = pl.pallas_call(
+        _block_kernel_v2,
+        grid=(B, NT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3 * C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((4, 1, C), lambda b, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, H + 4, W, C), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((2, SLAB, W, C), jnp.bfloat16),
+                        pltpu.VMEM((HS + 2, W, C), jnp.bfloat16),
+                        pltpu.VMEM((2, HS, W, C), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=INTERP,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )
+    vp = jnp.pad(v, ((0, 0), (2, 2), (0, 0), (0, 0)))   # once per chain
+    for _ in range(NBLK):
+        vp = kern(vp, w1r, w2r, aff)
+    return vp[:, 2:2 + H]
+
+
 print(f'== B={B} fused-block probe ({B},{H},{W},{C}) HS={HS} '
       f'x{NBLK}-blocks ==', flush=True)
 
@@ -195,10 +332,18 @@ timed('matmul roofline unrolled (M,128)@(128,128)', matmul_chain_unroll,
       xm, w1)
 _, ref_out = timed('XLA block chain fori_loop', xla_chain_fori, x16, w1, w2)
 timed('XLA block chain unrolled', xla_chain_unroll, x16, w1, w2)
-_, pl_out = timed('PALLAS fused block chain', pallas_chain, x16, w1, w2)
+_, pl_out = timed('PALLAS fused block chain v1', pallas_chain, x16, w1, w2)
+_, pl2_out = timed('PALLAS fused block chain v2', pallas_chain_v2,
+                   x16, w1, w2)
 
-err = float(jnp.max(jnp.abs(pl_out.astype(jnp.float32)
-                            - ref_out.astype(jnp.float32))))
-ref_mag = float(jnp.max(jnp.abs(ref_out.astype(jnp.float32))))
-print(f'pallas-vs-XLA max abs err {err:.4e} (ref magnitude {ref_mag:.2f})',
-      flush=True)
+
+def report(name, out):
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref_out.astype(jnp.float32))))
+    ref_mag = float(jnp.max(jnp.abs(ref_out.astype(jnp.float32))))
+    print(f'{name}-vs-XLA max abs err {err:.4e} '
+          f'(ref magnitude {ref_mag:.2f})', flush=True)
+
+
+report('pallas-v1', pl_out)
+report('pallas-v2', pl2_out)
