@@ -125,7 +125,17 @@ def run_pipeline(codec, pc_vars, x_dev, centers, ae_vars,
 
 
 def main():
+    import argparse
     import threading
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--repeat', type=int, default=0, metavar='N',
+                    help='time exactly N pipeline loops (instead of the '
+                         'adaptive best-until-stale schedule) and print '
+                         'every per-loop number — use to measure server-'
+                         'state variance')
+    flags = ap.parse_args()
+    repeat_n = flags.repeat
 
     # Global deadline: the axon server can wedge mid-run (a dispatch is
     # accepted and the result never materializes; plain block_until_ready
@@ -259,10 +269,16 @@ def main():
         # state. Adaptive mode keeps timing until the best loop stops
         # improving (2 consecutive non-improvements, floor 4 / cap 12
         # loops), which outlasts the warmup without a fixed large cost.
+        loops = []
+
         def loop():
-            return run_pipeline(codec, pc_vars, x, centers, ae_vars,
-                                ae_encode_syms, ae_decode_syms, n_iter)
-        if adaptive:
+            dt = run_pipeline(codec, pc_vars, x, centers, ae_vars,
+                              ae_encode_syms, ae_decode_syms, n_iter)
+            loops.append(mp / dt)
+            return dt
+        if repeat_n:                      # --repeat N: fixed loop count
+            dt = min(loop() for _ in range(repeat_n))
+        elif adaptive:
             dt = loop()
             stale = 0
             for rep in range(11):
@@ -275,10 +291,18 @@ def main():
                         break
         else:
             dt = min(loop() for _ in range(repeats))
-        return mp / dt, bpp, real / theo - 1.0
+        return mp / dt, bpp, real / theo - 1.0, loops
 
-    mps, bpp, ovh = measure(x_nat, n_iter=4, adaptive=True)
-    mps_noise, bpp_noise, _ = measure(x_noise, n_iter=2, repeats=1)
+    mps, bpp, ovh, loops = measure(x_nat, n_iter=4, adaptive=True)
+    # Per-loop numbers + spread: single-number benches on this rig carry
+    # real server-state variance (17-26 MP/s swings observed on cold
+    # servers); the error bar travels with the result (VERDICT r4 #6).
+    spread = (max(loops) - min(loops)) / max(loops) * 100 if loops else 0.0
+    print('variance: per-loop MP/s ['
+          + ', '.join(f'{v:.2f}' for v in loops)
+          + f'] min {min(loops):.2f} max {max(loops):.2f} '
+          f'spread {spread:.1f}% (headline = max)', file=sys.stderr)
+    mps_noise, bpp_noise, _, _ = measure(x_noise, n_iter=2, repeats=1)
     print(f'secondary: uniform-noise content {mps_noise:.2f} MP/s at '
           f'{bpp_noise:.3f} bpp (headline: {model_tag} natural content at '
           f'{bpp:.3f} bpp, real-vs-theory overhead {ovh * 100:.2f}%)',

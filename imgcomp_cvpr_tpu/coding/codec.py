@@ -78,7 +78,13 @@ def _rans_x0() -> int:
     exceeds K_CAP)."""
     import os
     v = os.environ.get('IMGCOMP_RANS_X0', '1')
-    return rans.RANS_L if v in ('L', 'l', str(rans.RANS_L)) else int(v)
+    x0 = rans.RANS_L if v in ('L', 'l') else int(v)
+    if not 1 <= x0 <= rans.RANS_L:
+        raise ValueError(
+            f'IMGCOMP_RANS_X0={v!r}: the rANS lane seed must satisfy '
+            f'1 <= x0 <= RANS_L ({rans.RANS_L}); x0=0 sticks at zero and '
+            f'silently corrupts streams')
+    return x0
 
 
 # Symbol-volume checksum for the container: a weighted mod-2^32 sum chosen
@@ -383,8 +389,12 @@ class LatentCodec:
             x0 = rans.RANS_L
         buf, n_words, states, k = encode_streams(freq_sel, start_sel, x0=x0)
         theo = theoretical_bits(freq_sel)
+        # sels are retained only for the rare k>K_CAP re-encode fallback,
+        # which can't trigger under the classic seed — drop them there so
+        # two (B,T,M) buffers aren't pinned across the pipelined window.
+        sels = (freq_sel, start_sel) if x0 < rans.RANS_L else None
         return (latent_shape, symbols, buf, n_words, states, theo, k, x0,
-                (freq_sel, start_sel))
+                sels)
 
     def encode_batch_finish(self, handle) -> Tuple[EncodeResult, ...]:
         if isinstance(handle, tuple) and handle and handle[0] == 'meshpad':
@@ -611,14 +621,25 @@ def _read_bits(data: bytes, base: int, bitoff: int, n: int) -> int:
     return (chunk >> (bitoff % 8)) & ((1 << n) - 1)
 
 
-def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False):
-    """Inverse of _pack_states; returns (states_u32, bytes_consumed)."""
+def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False,
+                   v8wide: bool = False):
+    """Inverse of _pack_states; returns (states_u32, bytes_consumed).
+    v8wide parses the container-v8 flat 5-bit wide descriptor (v9 moved
+    to the 4-bit + escape scheme)."""
     lo = np.frombuffer(data[pos:pos + 2 * r], np.uint16)
     base = pos + 2 * r
     bits = 0
     hi = np.empty(r, np.uint32)
     for i in range(r):
-        if wide:
+        if v8wide:
+            ln = _read_bits(data, base, bits, 5)  # bit_length(hi) in [0,16]
+            bits += 5
+            if ln:
+                hi[i] = (1 << (ln - 1)) | _read_bits(data, base, bits, ln - 1)
+                bits += ln - 1
+            else:
+                hi[i] = 0
+        elif wide:
             ln = _read_bits(data, base, bits, 4)
             bits += 4
             if ln == 15:                         # 15/16 selector bit
@@ -714,11 +735,44 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
     return buf.getvalue()
 
 
+def _deserialize_v8(data: bytes):
+    """Frozen v8 parser (15-byte byte-oriented header: magic version impl
+    prec shape(3x u16) crc(u32) nstates) so v8-era archives stay
+    decodable — the payload semantics (stream words, states, k warmups)
+    are identical to v9; only the container side-info packing changed."""
+    tail_mode = bool(data[2] & 0x80)
+    latent_shape = tuple(int(v) for v in np.frombuffer(data[4:10], np.uint16))
+    sym_crc = int(np.frombuffer(data[10:14], np.uint32)[0])
+    r = data[14]
+    if r & 0x80:                                     # raw-states escape
+        r &= 0x7F
+        states = np.frombuffer(data[15:15 + 4 * r], np.uint32).copy()
+        consumed = 4 * r
+    else:
+        states, consumed = _unpack_states(r, data, 15, v8wide=tail_mode)
+    pos = 15 + consumed
+    k = None
+    if tail_mode:
+        kw = data[pos]
+        pos += 1
+        k = np.empty(r, np.int32)
+        for i in range(r):
+            k[i] = _read_bits(data, pos, i * kw, kw)
+        pos += (r * kw + 7) // 8
+    tail = data[pos:]
+    if len(tail) % 2:
+        raise ValueError('truncated container')
+    stream_words = np.frombuffer(tail, np.uint16).astype(np.uint32)
+    return latent_shape, stream_words, states, sym_crc, k
+
+
 def deserialize_stream(data: bytes):
     """-> (latent_shape, stream_words, states, sym_crc, k) with k = None
     for x0=RANS_L streams, else the (R,) int32 warmup table."""
     assert data[:1] == MAGIC, 'bad magic'
     version = (data[1]) & 0xF
+    if version == 8:
+        return _deserialize_v8(data)
     assert version == VERSION, version
     hdr = int.from_bytes(data[:14], 'little')
     tail_mode = bool((hdr >> 15) & 1)
@@ -753,6 +807,8 @@ def deserialize_stream(data: bytes):
 
 def stream_impl_id(data: bytes) -> int:
     assert data[:1] == MAGIC, 'bad magic'
+    if (data[1] & 0xF) == 8:                # v8: impl byte (bit 7 = tail)
+        return data[2] & 0x7F
     return (data[1] >> 4) & 0x7
 
 
@@ -761,4 +817,6 @@ def stream_prec(data: bytes) -> int:
     1 = bf16, 2 = f8_e4m3 inner rings). Streams are only decodable at
     their own precision."""
     assert data[:1] == MAGIC, 'bad magic'
+    if (data[1] & 0xF) == 8:                # v8: dedicated prec byte
+        return data[3]
     return data[2] & 0x3

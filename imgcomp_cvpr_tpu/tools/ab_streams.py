@@ -184,9 +184,8 @@ def cmd_ab(args):
     # worktree too, so new dump fields (e.g. parsed payloads) exist on
     # both sides even when HEAD predates them.
     import shutil
-    shutil.copy(os.path.abspath(__file__),
-                os.path.join(wt, 'imgcomp_cvpr_tpu', 'tools',
-                             'ab_streams.py'))
+    wt_tool = os.path.join(wt, 'imgcomp_cvpr_tpu', 'tools', 'ab_streams.py')
+    shutil.copy(os.path.abspath(__file__), wt_tool)
     dump_a = os.path.join(tempfile.gettempdir(), 'ab_streams_head.pkl')
     dump_b = os.path.join(tempfile.gettempdir(), 'ab_streams_work.pkl')
     base = [sys.executable, '-m', 'imgcomp_cvpr_tpu.tools.ab_streams',
@@ -196,7 +195,12 @@ def cmd_ab(args):
             '--bsubs'] + [str(b) for b in args.bsubs]
     env = dict(os.environ)
     print('ab: dumping streams from pristine HEAD...')
-    subprocess.check_call(base + ['--out', dump_a], cwd=wt, env=env)
+    try:
+        subprocess.check_call(base + ['--out', dump_a], cwd=wt, env=env)
+    finally:
+        # leave the (reused) worktree pristine; the copy is re-made per run
+        subprocess.call(['git', 'checkout', '--',
+                         'imgcomp_cvpr_tpu/tools/ab_streams.py'], cwd=wt)
     print('ab: dumping streams from the working tree...')
     subprocess.check_call(base + ['--out', dump_b], cwd=repo, env=env)
     rc = subprocess.call(

@@ -42,6 +42,45 @@ def detect_job_id(ckpt_path: str):
     return None
 
 
+def check_manifest(manifest_path: str, ae_spec: str, pc_spec: str) -> bool:
+    """Validate the importer's name mapping against a var_names.pkl
+    manifest ALONE (no tensor values needed; ref saver.py:19-43 pickles
+    the variable-name list next to every checkpoint). A checkpoint
+    manifest that arrives before/without the tensors can already prove
+    the mapping is complete: every name the importer reads must be in
+    the manifest, and every non-training-state manifest name must be
+    consumed by the importer."""
+    import pickle
+
+    from ..utils import config as config_lib
+    from . import tf1_import
+
+    ae_config, _ = config_lib.parse_spec(ae_spec, 'ae')
+    with open(manifest_path, 'rb') as f:
+        if manifest_path.endswith(('.txt', '.list')):
+            names = f.read().decode().split()
+        else:
+            names = pickle.load(f)
+    # tf variable names carry a ':0' output suffix; normalize it away
+    have = {n.split(':')[0] for n in names}
+    skipped = {n for n in have
+               if any(s in n for s in tf1_import.SKIP_VAR_SUBSTRINGS)}
+    want = set(tf1_import.expected_names(ae_config))
+    missing = sorted(want - have)
+    extra = sorted(have - skipped - want)
+    print(f'manifest {manifest_path}: {len(have)} variables '
+          f'({len(skipped)} training-state, skipped)')
+    print(f'importer expects {len(want)} for ae={ae_spec} pc={pc_spec}')
+    for n in missing:
+        print(f'  MISSING from manifest: {n}')
+    for n in extra:
+        print(f'  UNMAPPED model variable: {n}')
+    ok = not missing and not extra
+    print('manifest check: ' + ('OK — the importer consumes this '
+                                'checkpoint completely' if ok else 'FAIL'))
+    return ok
+
+
 def run_parity(ckpt_path: str, ae_spec: str, pc_spec: str, images: str,
                expected_bpp=None, expected_msssim=None, budget=0.005,
                eval_batch: int = 8, mesh=None):
@@ -103,9 +142,15 @@ def run_parity(ckpt_path: str, ae_spec: str, pc_spec: str, images: str,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split('\n')[0])
-    p.add_argument('ckpt_path', help='TF1 checkpoint prefix '
-                                     '(e.g. .../0515_1103/ckpts/ckpt-7627)')
-    p.add_argument('--images', required=True,
+    p.add_argument('ckpt_path', nargs='?',
+                   help='TF1 checkpoint prefix '
+                        '(e.g. .../0515_1103/ckpts/ckpt-7627)')
+    p.add_argument('--manifest-only', metavar='VAR_NAMES',
+                   help='Validate the importer name mapping against a '
+                        'var_names.pkl (or .txt name list) ALONE — no '
+                        'tensors or images needed; a checkpoint manifest '
+                        'can prove the mapping before the weights exist')
+    p.add_argument('--images',
                    help='Kodak dir / glob / known dataset name')
     p.add_argument('--ae', help='AE config spec (auto-detected from known '
                                 'checkpoint job ids in ckpt_path)')
@@ -118,7 +163,7 @@ def main(argv=None):
 
     ae_spec, pc_spec = flags.ae, flags.pc
     expected_bpp, expected_msssim = flags.expected_bpp, flags.expected_msssim
-    job_id = detect_job_id(flags.ckpt_path)
+    job_id = detect_job_id(flags.ckpt_path or flags.manifest_only or '')
     if job_id is not None:
         (auto_ae, auto_pc), pub_bpp, pub_msssim = KNOWN_CHECKPOINTS[job_id]
         ae_spec = ae_spec or auto_ae
@@ -131,6 +176,11 @@ def main(argv=None):
     if ae_spec is None or pc_spec is None:
         p.error('--ae/--pc required for unrecognized checkpoint paths')
 
+    if flags.manifest_only:
+        return 0 if check_manifest(flags.manifest_only, ae_spec,
+                                   pc_spec) else 1
+    if not flags.ckpt_path or not flags.images:
+        p.error('ckpt_path and --images required (or use --manifest-only)')
     ok, _, _ = run_parity(flags.ckpt_path, ae_spec, pc_spec, flags.images,
                           expected_bpp, expected_msssim, flags.budget)
     return 0 if ok else 1

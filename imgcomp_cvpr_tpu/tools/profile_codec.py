@@ -75,8 +75,12 @@ def profile(batch: int = 8, h: int = 512, w: int = 768, iters: int = 3,
     states_dummy = jnp.full((batch, r), rans.RANS_L, jnp.uint32)
     ts = jnp.asarray(syms.reshape(batch, -1), jnp.int8)
 
+    thresh_dummy = jnp.full((batch, r), np.iinfo(np.int32).max // 2,
+                            jnp.int32)   # encode: pull threshold never binds
+
     t, fwd = timed(lambda: run(pc_vars, jnp.asarray(centers), ts,
-                               streams_dummy, states_dummy, jnp.int32(1)))
+                               streams_dummy, states_dummy, jnp.int32(1),
+                               thresh_dummy))
     report['cdf_scan_s'] = round(t, 4)
     _, freq_sel, start_sel, _ = fwd
     t, _ = timed(encode_streams, freq_sel, start_sel)

@@ -77,6 +77,30 @@ def pc_name_pairs() -> List[Tuple[str, Tuple[str, ...]]]:
     ]
 
 
+def expected_names(ae_config) -> List[str]:
+    """Every TF1 variable name the importer will read for this config —
+    the checkpoint-side contract, computable with no tensor values (so a
+    var_names.pkl manifest alone can validate the mapping; ref
+    saver.py:19-43 pickles exactly this name list next to each ckpt)."""
+    names = ['autoencoder/encoder/centers']
+    for tf_scope, _our, _t in ae_name_pairs(ae_config):
+        names.append(f'{tf_scope}/weights')
+        for bn in ('gamma', 'beta', 'moving_mean', 'moving_variance'):
+            names.append(f'{tf_scope}/BatchNorm/{bn}')
+    for tf_scope, _our in pc_name_pairs():
+        names.append(f'{tf_scope}/weights')
+        names.append(f'{tf_scope}/biases')
+    return names
+
+
+# Checkpoint variables that are training state, not model weights — the
+# importer never reads these and a manifest check must not count them
+# (TF1 slim training state: Adam slots/power accumulators, step counter,
+# EMA copies).
+SKIP_VAR_SUBSTRINGS = ('Adam', 'beta1_power', 'beta2_power', 'global_step',
+                       'ExponentialMovingAverage', 'Momentum', 'RMSProp')
+
+
 def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
     node = tree
     for p in path[:-1]:

@@ -281,6 +281,206 @@ def test_codec_rejects_corrupt_stream(tiny_pc_setup):
     assert not np.array_equal(decoded, symbols)
 
 
+# ---------------- container back-compat (v8) ----------------
+
+def _serialize_v8(latent_shape, stream_words, final_states, sym_crc=0,
+                  impl_id=2, prec=0, k=None):
+    """Frozen copy of the container-v8 WRITER (the byte-oriented header
+    retired by v9's bit packing) so the v8 decode path stays covered
+    without archived binaries. Kept verbatim from the v8-era codec.py —
+    do not 'fix' it to track the live format."""
+    import io as _io
+
+    def pack_states_v8(states, wide):
+        st = np.asarray(states, np.uint64)
+        lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
+        hi = (st >> np.uint64(16)).astype(np.uint32)
+        acc = 0
+        nbits = 0
+        for h in hi:
+            h = int(h)
+            if wide:                       # flat 5-bit bit_length in [0,16]
+                ln = h.bit_length()
+                acc |= ln << nbits
+                nbits += 5
+                if ln:
+                    acc |= (h - (1 << (ln - 1))) << nbits
+                    nbits += ln - 1
+            else:
+                ln = h.bit_length() - 1
+                acc |= ln << nbits
+                nbits += 4
+                acc |= (h - (1 << ln)) << nbits
+                nbits += ln
+        return lo.tobytes() + acc.to_bytes((nbits + 7) // 8, 'little')
+
+    r = len(final_states)
+    packed = pack_states_v8(final_states, wide=k is not None)
+    if len(packed) > 4 * r:
+        r |= 0x80
+        packed = np.asarray(final_states, np.uint32).tobytes()
+    buf = _io.BytesIO()
+    buf.write(codec_lib.MAGIC)
+    buf.write(np.asarray([8], np.uint8).tobytes())           # VERSION = 8
+    buf.write(np.asarray([impl_id | (0x80 if k is not None else 0)],
+                         np.uint8).tobytes())
+    buf.write(np.asarray([prec], np.uint8).tobytes())
+    buf.write(np.asarray(latent_shape, np.uint16).tobytes())
+    buf.write(np.asarray([sym_crc], np.uint32).tobytes())
+    buf.write(np.asarray([r], np.uint8).tobytes())
+    buf.write(packed)
+    if k is not None:
+        k = np.asarray(k, np.int64)
+        kw = max(1, int(k.max()).bit_length())
+        acc = 0
+        for i, kv in enumerate(k):
+            acc |= int(kv) << (i * kw)
+        buf.write(np.asarray([kw], np.uint8).tobytes())
+        buf.write(acc.to_bytes((len(k) * kw + 7) // 8, 'little'))
+    buf.write(np.asarray(stream_words, np.uint16).tobytes())
+    return buf.getvalue()
+
+
+# One v8 container captured as literal bytes (generated by the frozen
+# writer above; pinned so decoder drift OR writer-copy drift both fail):
+# shape (4,6,8), impl 2, prec 1, crc 0xDEADBEEF, states [2^16, 5, 70000],
+# k [3, 0, 12], words [1, 65535, 258].
+_V8_PINNED_HEX = ('a7088201040006000800efbeadde0300000500701101'
+                  '0404030c0100ffff0201')
+_V8_PINNED = bytes.fromhex(_V8_PINNED_HEX)
+
+
+def test_container_v8_parse_pinned_bytes():
+    """v8-era archives must keep parsing byte-for-byte (VERSION is now 9;
+    deserialize_stream dispatches on the header version nibble)."""
+    shape, words, states, crc, k = codec_lib.deserialize_stream(_V8_PINNED)
+    assert shape == (4, 6, 8)
+    assert crc == 0xDEADBEEF
+    np.testing.assert_array_equal(states,
+                                  np.asarray([1 << 16, 5, 70000], np.uint32))
+    np.testing.assert_array_equal(k, np.asarray([3, 0, 12], np.int32))
+    np.testing.assert_array_equal(words,
+                                  np.asarray([1, 65535, 258], np.uint32))
+    assert codec_lib.stream_impl_id(_V8_PINNED) == 2
+    assert codec_lib.stream_prec(_V8_PINNED) == 1
+    # the frozen writer reproduces the pinned bytes exactly
+    regen = _serialize_v8((4, 6, 8), words, states, sym_crc=0xDEADBEEF,
+                          impl_id=2, prec=1, k=k)
+    assert regen == _V8_PINNED
+
+
+def test_container_v8_streams_decode(tiny_pc_setup, monkeypatch):
+    """End-to-end v8 back-compat: streams the v8-era encoder would have
+    produced (same payload words/states/k, v8 side-info packing) must
+    decode bit-exactly through the current codec, in legacy AND
+    tail-packed modes, including mixed v8+v9 batches."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(11)
+    symbols = rng.randint(0, 6, size=latent)
+    impl_id = codec_lib.IMPL_IDS[codec.impl]
+
+    res_leg = codec.encode(params, symbols, centers)         # auto: legacy
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_leg.bitstream)
+    assert k is None
+    v8_leg = _serialize_v8(shape, words, states, sym_crc=crc,
+                           impl_id=impl_id)
+    np.testing.assert_array_equal(
+        codec.decode(params, v8_leg, centers), symbols)
+
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    res_tail = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_tail.bitstream)
+    assert k is not None
+    v8_tail = _serialize_v8(shape, words, states, sym_crc=crc,
+                            impl_id=impl_id, k=k)
+    np.testing.assert_array_equal(
+        codec.decode(params, v8_tail, centers), symbols)
+    # a mixed v8 + v9 batch decodes in one call
+    mixed = codec.decode_batch(
+        params, [v8_tail, res_leg.bitstream, res_tail.bitstream], centers)
+    for got in mixed:
+        np.testing.assert_array_equal(got, symbols)
+
+
+# ---------------- container fuzzing ----------------
+
+def test_container_parser_fuzz():
+    """Randomized corruption/truncation over the v9 bit-packed parser
+    (version/width nibbles, state descriptors, k-table, wide escapes):
+    deserialize_stream must always either raise cleanly or return a
+    well-formed tuple — never crash the process, never loop."""
+    rng = np.random.RandomState(0)
+    blobs = []
+    for tail in (False, True):
+        states = rng.randint(1, 1 << 32, size=32).astype(np.uint32)
+        k = rng.randint(0, 3000, size=32).astype(np.int32) if tail else None
+        words = rng.randint(0, 1 << 16, size=53).astype(np.uint32)
+        blobs.append(codec_lib.serialize_stream(
+            (4, 6, 8), words, states, sym_crc=0xC0FFEE, impl_id=3, k=k))
+    allowed = (AssertionError, ValueError, IndexError, OverflowError)
+    for seed in range(400):
+        r = np.random.RandomState(seed)
+        blob = bytearray(blobs[seed % 2])
+        mode = seed % 4
+        if mode == 0:                                   # byte flips
+            for _ in range(r.randint(1, 5)):
+                blob[r.randint(len(blob))] ^= 1 << r.randint(8)
+        elif mode == 1:                                 # truncation
+            blob = blob[:r.randint(len(blob))]
+        elif mode == 2:                                 # flips + truncation
+            blob = blob[:r.randint(1, len(blob))]
+            if blob:
+                blob[r.randint(len(blob))] ^= r.randint(1, 256)
+        else:                                           # garbage extension
+            blob = blob + bytes(r.randint(0, 256, size=r.randint(1, 9),
+                                          dtype=np.uint8))
+        try:
+            out = codec_lib.deserialize_stream(bytes(blob))
+        except allowed:
+            continue
+        shape, words, states, crc, k = out              # well-formed tuple
+        assert len(shape) == 3
+        assert states.dtype == np.uint32
+        assert k is None or len(k) == len(states)
+
+
+def test_codec_fuzz_payload_never_misdecodes(tiny_pc_setup, monkeypatch):
+    """Payload-region corruption (states/k-table/stream words — header
+    left intact so the executable shape stays fixed) through the FULL
+    decode with verify=True: every case must either raise or return the
+    exact original symbols (a flip in side-info dont-care bits, e.g. the
+    final byte's padding, may legitimately decode clean). Never a wrong
+    volume, never a hang."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(21)
+    symbols = rng.randint(0, 6, size=latent)
+    blob0 = codec.encode(params, symbols, centers).bitstream
+    assert codec_lib.deserialize_stream(blob0)[4] is not None  # tail mode
+    hdr = 12                              # v9 fixed header (not shapewide)
+    misdecoded = 0
+    for seed in range(40):
+        r = np.random.RandomState(1000 + seed)
+        blob = bytearray(blob0)
+        if seed % 3 == 2 and len(blob) - hdr > 4:       # even truncation
+            cut = r.randint(1, (len(blob) - hdr) // 2) * 2
+            blob = blob[:len(blob) - cut]
+        else:
+            for _ in range(r.randint(1, 4)):
+                blob[hdr + r.randint(len(blob) - hdr)] ^= 1 << r.randint(8)
+        try:
+            got = codec.decode(params, bytes(blob), centers)
+        except (AssertionError, ValueError, IndexError, OverflowError):
+            continue
+        if not np.array_equal(got, symbols):
+            misdecoded += 1
+    assert misdecoded == 0
+
+
 # ---------------- native C++ runtime ----------------
 
 def test_native_encode_matches_numpy():

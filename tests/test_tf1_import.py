@@ -223,3 +223,56 @@ def test_tf1_name_inventory(spec):
     for name, shape in expected.items():
         assert tuple(tensors[name].shape) == shape, (
             name, tensors[name].shape, shape)
+
+
+def test_parity_manifest_only(tmp_path, capsys):
+    """parity_check --manifest-only: a var_names.pkl (ref saver.py:19-43)
+    with no tensor values validates the importer mapping — complete
+    manifests pass, a missing model variable or an unmapped one fails."""
+    from imgcomp_cvpr_tpu.tools import parity_check
+
+    ae_config, _ = config_lib.parse_spec('cvpr/low', 'ae')
+    names = [n + ':0' for n in tf1_import.expected_names(ae_config)]
+    # training state the reference's checkpoints also carry — skipped
+    names += ['autoencoder/encoder/h1/weights/Adam:0',
+              'autoencoder/encoder/h1/weights/Adam_1:0',
+              'beta1_power:0', 'beta2_power:0', 'global_step:0']
+
+    import pickle
+    ok_pkl = tmp_path / 'var_names.pkl'
+    ok_pkl.write_bytes(pickle.dumps(names))
+    rc = parity_check.main(['--manifest-only', str(ok_pkl),
+                            '--ae', 'cvpr/low', '--pc', 'cvpr/res_shallow'])
+    assert rc == 0
+    assert 'OK' in capsys.readouterr().out
+
+    # job-id auto-detection from the manifest path
+    job_pkl = tmp_path / '0515_1103' / 'var_names.pkl'
+    job_pkl.parent.mkdir()
+    job_pkl.write_bytes(pickle.dumps(names))
+    assert parity_check.main(['--manifest-only', str(job_pkl)]) == 0
+
+    # a model variable missing from the manifest fails
+    bad = [n for n in names if not n.startswith('probclass3d/logits/conv3d_'
+                                                'conv0_mask/weights')]
+    bad_pkl = tmp_path / 'missing.pkl'
+    bad_pkl.write_bytes(pickle.dumps(bad))
+    rc = parity_check.main(['--manifest-only', str(bad_pkl),
+                            '--ae', 'cvpr/low', '--pc', 'cvpr/res_shallow'])
+    assert rc == 1
+    assert 'MISSING' in capsys.readouterr().out
+
+    # an unexplained (non-training-state) manifest variable fails too
+    extra_pkl = tmp_path / 'extra.pkl'
+    extra_pkl.write_bytes(pickle.dumps(names + ['autoencoder/mystery:0']))
+    rc = parity_check.main(['--manifest-only', str(extra_pkl),
+                            '--ae', 'cvpr/low', '--pc', 'cvpr/res_shallow'])
+    assert rc == 1
+    assert 'UNMAPPED' in capsys.readouterr().out
+
+    # .txt name lists (ref saver.save_vars writes those too) parse as well
+    txt = tmp_path / 'var_names.txt'
+    txt.write_text('\n'.join(names))
+    assert parity_check.main(['--manifest-only', str(txt),
+                              '--ae', 'cvpr/low',
+                              '--pc', 'cvpr/res_shallow']) == 0
