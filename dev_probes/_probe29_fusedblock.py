@@ -325,6 +325,126 @@ def pallas_chain_v2(v, w1, w2):
     return vp[:, 2:2 + H]
 
 
+# ------------------------------------------------------------- pallas v3
+# K=1152 single-dot im2col: materialize the (rows*W, 9C) im2col matrix in
+# VMEM (dy via _dycat channels, dx via three zero-filled W shifts of the
+# dy-cat slab, concatenated along channels), then ONE MXU dot per conv
+# with contraction depth 9C = 1152. Deeper contraction per pass than
+# v2's 3 dots of K=384; costs an extra VMEM copy of 3x the slab.
+
+
+def _im2col(xc, rows):
+    """xc: (rows, W, 3*cin) dy-cat slab -> (rows*W, 9*cin) with dx in
+    [-1, 0, 1] concatenated along channels (zero SAME pad in W)."""
+    z = jnp.zeros((rows, 1, xc.shape[2]), xc.dtype)
+    left = jnp.concatenate([z, xc[:, :-1]], axis=1)
+    right = jnp.concatenate([xc[:, 1:], z], axis=1)
+    return jnp.concatenate([left, xc, right], axis=2).reshape(
+        rows * W, 3 * xc.shape[2])
+
+
+def _block_kernel_v3(xpad_hbm, w1_ref, w2_ref, aff_ref, out_hbm,
+                     slab_ref, y_ref, obuf_ref, sem_in, sem_out, sem_z):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first = jnp.logical_and(bi == 0, ti == 0)
+
+    def start_in(b, t, slot):
+        return pltpu.make_async_copy(
+            xpad_hbm.at[b, pl.ds(t * HS, SLAB)], slab_ref.at[slot],
+            sem_in.at[slot])
+
+    @pl.when(first)
+    def _prologue():
+        start_in(0, 0, 0).start()
+        obuf_ref[1, 0:2] = jnp.zeros((2, W, C), jnp.bfloat16)
+
+    @pl.when(ti == 0)
+    def _borders():
+        top = pltpu.make_async_copy(
+            obuf_ref.at[1, 0:2], out_hbm.at[bi, pl.ds(0, 2)], sem_z.at[0])
+        bot = pltpu.make_async_copy(
+            obuf_ref.at[1, 0:2], out_hbm.at[bi, pl.ds(H + 2, 2)],
+            sem_z.at[1])
+        top.start()
+        bot.start()
+        top.wait()
+        bot.wait()
+
+    slot = ti % 2
+    nb = jnp.where(ti + 1 < nt, bi, bi + 1)
+    ntile = jnp.where(ti + 1 < nt, ti + 1, 0)
+
+    @pl.when(nb < pl.num_programs(0))
+    def _prefetch():
+        start_in(nb, ntile, 1 - slot).start()
+
+    start_in(bi, ti, slot).wait()
+    slab = slab_ref[slot]
+    y = jax.lax.dot(_im2col(_dycat(slab, HS + 2), HS + 2), w1_ref[...],
+                    preferred_element_type=jnp.float32)
+    y = y.reshape(HS + 2, W, C) * aff_ref[0, 0] + aff_ref[1, 0]
+    arow = (jax.lax.broadcasted_iota(jnp.int32, (HS + 2, W, C), 0)
+            + ti * HS - 1)
+    y = jnp.where((arow >= 0) & (arow < H), y, 0.0)
+    y_ref[...] = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    z = jax.lax.dot(_im2col(_dycat(y_ref[...], HS), HS), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+    z = z.reshape(HS, W, C) * aff_ref[2, 0] + aff_ref[3, 0]
+
+    @pl.when(jnp.logical_not(first))
+    def _wait_prev_out():
+        pltpu.make_async_copy(obuf_ref.at[0], obuf_ref.at[0],
+                              sem_out).wait()
+
+    obuf_ref[0] = (z + slab[2:2 + HS].astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    out = pltpu.make_async_copy(
+        obuf_ref.at[0], out_hbm.at[bi, pl.ds(2 + ti * HS, HS)], sem_out)
+    out.start()
+    last = jnp.logical_and(bi == pl.num_programs(0) - 1, ti == nt - 1)
+
+    @pl.when(last)
+    def _drain():
+        out.wait()
+
+
+@jax.jit
+def pallas_chain_v3(v, w1, w2):
+    # _im2col channel order: dx-major over a dy-cat slab: [dx=-1 | dx=0 |
+    # dx=+1], each (dy0,dy1,dy2)-cat channels. w[dy, dx, cin, cout] must
+    # be ordered (dx, dy, cin): transpose first.
+    w1r = jnp.transpose(w1, (1, 0, 2, 3)).reshape(9 * C, C)
+    w2r = jnp.transpose(w2, (1, 0, 2, 3)).reshape(9 * C, C)
+    aff = jnp.stack([s1, b1, s2, b2])[:, None, :]
+    kern = pl.pallas_call(
+        _block_kernel_v3,
+        grid=(B, NT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9 * C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((9 * C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((4, 1, C), lambda b, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, H + 4, W, C), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((2, SLAB, W, C), jnp.bfloat16),
+                        pltpu.VMEM((HS + 2, W, C), jnp.bfloat16),
+                        pltpu.VMEM((2, HS, W, C), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=INTERP,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )
+    vp = jnp.pad(v, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    for _ in range(NBLK):
+        vp = kern(vp, w1r, w2r, aff)
+    return vp[:, 2:2 + H]
+
+
 print(f'== B={B} fused-block probe ({B},{H},{W},{C}) HS={HS} '
       f'x{NBLK}-blocks ==', flush=True)
 
@@ -334,6 +454,8 @@ _, ref_out = timed('XLA block chain fori_loop', xla_chain_fori, x16, w1, w2)
 timed('XLA block chain unrolled', xla_chain_unroll, x16, w1, w2)
 _, pl_out = timed('PALLAS fused block chain v1', pallas_chain, x16, w1, w2)
 _, pl2_out = timed('PALLAS fused block chain v2', pallas_chain_v2,
+                   x16, w1, w2)
+_, pl3_out = timed('PALLAS fused block chain v3 (K=1152)', pallas_chain_v3,
                    x16, w1, w2)
 
 
@@ -347,3 +469,4 @@ def report(name, out):
 
 report('pallas-v1', pl_out)
 report('pallas-v2', pl2_out)
+report('pallas-v3', pl3_out)

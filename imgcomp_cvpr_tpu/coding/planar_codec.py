@@ -201,8 +201,35 @@ class PlanarCoder:
         else:
             fwd, _ = plk.make_plane_forward(latent_shape, K, kf, L, b_out,
                                             bsub=bsub, interpret=interp)
-        rev, _ = plk.make_plane_reverse(latent_shape, K, b_out, bsub=bsub,
-                                        L=L, interpret=interp)
+
+        def _rev_kernel(x0):
+            return plk.make_plane_reverse(latent_shape, K, b_out, bsub=bsub,
+                                          L=L, interpret=interp, x0=x0)[0]
+
+        # Per-lane active totals: the active mask is identical for every
+        # plane (full_acm tiles acm) and every image slot, so a lane's
+        # full-volume total is C * (its per-plane count) — the base of the
+        # v8 tail-packing pull threshold (mirrors pallas_codec).
+        from . import codec as codec_lib
+        acm_np = np.asarray(tables[2])[:, 0, :]       # (T2_pad, CQB)
+        plane_tot = acm_np[:, :BR].sum(axis=0).astype(np.int32)   # (BR,)
+        for i in range(1, bsub):
+            assert (plane_tot[i * R:(i + 1) * R]
+                    == plane_tot[:R]).all(), 'image slots differ in schedule'
+        lane_totals = (C * plane_tot[:R]).astype(np.int32)
+        x0_enc = codec_lib._rans_x0()
+        if int(lane_totals.max()) < codec_lib.TAIL_MIN_LANE_SYMBOLS:
+            x0_enc = rans.RANS_L
+        plane_tot_j = jnp.asarray(plane_tot)          # (BR,) i32
+
+        def _thresh_seq(thresh):
+            # Per-PLANE pull thresholds for the forward kernel: the kernel
+            # counts decoded symbols within ONE plane, so plane c's
+            # threshold is the global one minus the c preceding planes'
+            # per-lane counts. Legacy/huge thresholds stay huge.
+            return (thresh.astype(jnp.int32)[None]
+                    - jnp.arange(C, dtype=jnp.int32)[:, None, None, None]
+                    * plane_tot_j[None, None, None, :])
 
         def fold_weights(pc_params):
             params = pc_params['params']
@@ -268,12 +295,16 @@ class PlanarCoder:
                 lambda rr: planar.unskew_rows(rr, BH, grid_hw))(r)
             return jnp.transpose(planes, (0, 2, 3, 1))   # (bl, Hg, Wg, kf)
 
-        def run(pc_params, centers, mode, symbols_flat, streams, states0):
+        def run(pc_params, centers, mode, symbols_flat, streams, states0,
+                thresh):
             """THE shared executable: teacher-forced encode (mode 1) and
             decode (mode 0) trace through this one jit. symbols_flat
             (bl, n) is the teacher input (dummy zeros at decode); streams
             (b_out, bsub*wrows, 128) is the coded stream (dummy zeros at
-            encode); states0 (b_out, 1, BR) the initial rANS states.
+            encode); states0 (b_out, 1, BR) the initial rANS states;
+            thresh (b_out, 1, BR) the global tail-packing pull threshold
+            (huge at encode and for legacy streams — the guard never
+            binds, so pre-tail-packing streams are unchanged).
             Returns (syms, fsel, ssel) each (b_out, C*T2_pad, 1, CQB) in
             coding order."""
             (w1, w2, w3, w4), lows, bs = fold_weights(pc_params)
@@ -301,7 +332,8 @@ class PlanarCoder:
             a3_hist = bc(k3, grids[3], kf)
             gptr0 = jnp.zeros((b_out, 1, bsub), jnp.int32)
 
-            def body(carry, true_plane):
+            def body(carry, xs):
+                true_plane, th_c = xs
                 q_hist, a1_hist, a2_hist, a3_hist, states, gptr = carry
                 bias_rows = (
                     skew_bias(conv_lower(q_hist, lows[0]) + bs[0], 1),
@@ -310,7 +342,7 @@ class PlanarCoder:
                     skew_bias(conv_lower(a3_hist, lows[3]) + bs[3], 4))
                 (syms, fsel, ssel, a1r, a2r, a3r, states, gptr) = fwd(
                     weights, tables, bias_rows, true_plane, streams,
-                    states, gptr, mode)
+                    states, gptr, mode, thresh=th_c)
                 # Rebuild planes for the next plane's bias convs.
                 sym_flat = jnp.take(
                     syms.reshape(b_out, T2_pad * CQB), inv_idx,
@@ -332,7 +364,7 @@ class PlanarCoder:
 
             _, (syms_all, fsel_all, ssel_all) = jax.lax.scan(
                 body, (q_hist, a1_hist, a2_hist, a3_hist, states0, gptr0),
-                true_planes)
+                (true_planes, _thresh_seq(thresh)))
 
             def co(x):   # (C, b_out, T2_pad, 1, CQB) -> coding order
                 return jnp.transpose(x, (1, 0, 2, 3, 4)).reshape(
@@ -416,20 +448,21 @@ class PlanarCoder:
             return codec_lib.symbol_crc_device(
                 symbols_flat.reshape(bl, -1).astype(jnp.uint32), wts_img)
 
-        def rev_local(rneed, fsel, ssel, symbols_flat):
+        def rev_local(rneed, x0, fsel, ssel, symbols_flat):
             # ONE dispatch for everything after the shared run executable:
             # reverse rANS + theoretical bits + symbol CRC + (predicted)
             # stream-row gather — every extra device call costs ~10 ms of
             # remote-dispatch overhead (the K=3 driver's round-4 pattern).
             # The shared `run` jit is untouched, so encode/decode
             # bit-exactness is unaffected.
-            words, n_words, st = rev(full_table, full_acm, fsel, ssel)
+            words, n_words, st, kw = _rev_kernel(x0)(
+                full_table, full_acm, fsel, ssel)
             f = jnp.maximum(fsel[:, :, 0, 0:BR].astype(jnp.float32), 1.0)
             bits = jnp.where(acm_flat[:, :, 0:BR] != 0,
                              -jnp.log2(f / rans.SCALE), 0.0)
             theo = jnp.sum(bits.reshape(b_out, C * T2_pad, bsub, R),
                            axis=(1, 3)).reshape(b_out * bsub)
-            outs = (words, n_words, st, theo, crc_of(symbols_flat))
+            outs = (words, n_words, st, kw, theo, crc_of(symbols_flat))
             if not rneed:
                 return outs
             row_idx = jnp.asarray(np.concatenate(
@@ -440,12 +473,14 @@ class PlanarCoder:
 
         rev_cache = {}
 
-        def rev_dev(fsel, ssel, symbols_flat, rneed=0):
-            if rneed not in rev_cache:
-                rev_cache[rneed] = self._shard_wrap(
-                    functools.partial(rev_local, rneed),
-                    n_rep=0, n_batch=3, n_out=5 + (1 if rneed else 0))
-            return rev_cache[rneed](fsel, ssel, symbols_flat)
+        def rev_dev(fsel, ssel, symbols_flat, rneed=0, x0=None):
+            x0 = x0_enc if x0 is None else x0
+            key = (rneed, x0)
+            if key not in rev_cache:
+                rev_cache[key] = self._shard_wrap(
+                    functools.partial(rev_local, rneed, x0),
+                    n_rep=0, n_batch=3, n_out=6 + (1 if rneed else 0))
+            return rev_cache[key](fsel, ssel, symbols_flat)
 
         take_cache = {}
 
@@ -469,24 +504,28 @@ class PlanarCoder:
 
         # -- fused one-dispatch encode / decode (split mode only) ---------
 
-        def encode_full_local(rneed, pc_params, centers, symbols_flat):
+        def encode_full_local(rneed, x0, pc_params, centers, symbols_flat):
             fsel, ssel = run_enc(pc_params, centers, symbols_flat)
-            return rev_local(rneed, fsel, ssel, symbols_flat)
+            return rev_local(rneed, x0, fsel, ssel, symbols_flat)
 
         enc_full_cache = {}
 
-        def encode_full_dev(pc_params, centers, symbols_flat, rneed=0):
-            if rneed not in enc_full_cache:
-                enc_full_cache[rneed] = self._shard_wrap(
-                    functools.partial(encode_full_local, rneed),
-                    n_rep=2, n_batch=1, n_out=5 + (1 if rneed else 0))
-            return enc_full_cache[rneed](pc_params, centers, symbols_flat)
+        def encode_full_dev(pc_params, centers, symbols_flat, rneed=0,
+                            x0=None):
+            x0 = x0_enc if x0 is None else x0
+            key = (rneed, x0)
+            if key not in enc_full_cache:
+                enc_full_cache[key] = self._shard_wrap(
+                    functools.partial(encode_full_local, rneed, x0),
+                    n_rep=2, n_batch=1, n_out=6 + (1 if rneed else 0))
+            return enc_full_cache[key](pc_params, centers, symbols_flat)
 
         def decode_full_local(rows_b, pc_params, centers, words_u16,
-                              states_in):
+                              states_in, thresh):
             """words_u16: (b_grp, bsub, rows_b, 128) wire words;
-            states_in: (b_grp, 1, BR). Stream padding + the decode scan +
-            unpack + CRC in ONE executable."""
+            states_in: (b_grp, 1, BR); thresh (b_grp, 1, BR) the global
+            tail-packing pull threshold (huge for legacy streams). Stream
+            padding + the decode scan + unpack + CRC in ONE executable."""
             bg = words_u16.shape[0]
             streams = jnp.zeros((bg, bsub * wrows, 128), jnp.uint32)
             for j in range(bsub):
@@ -512,7 +551,7 @@ class PlanarCoder:
             dummy_true = jnp.zeros((1, 1, 1, 128), jnp.int32)
             mode0 = jnp.zeros((1,), jnp.int32)
 
-            def body(carry, _):
+            def body(carry, th_c):
                 q_hist, a1_hist, a2_hist, a3_hist, states, gptr = carry
                 bias_rows = (
                     skew_bias(conv_lower(q_hist, lows[0]) + bs[0], 1),
@@ -521,7 +560,7 @@ class PlanarCoder:
                     skew_bias(conv_lower(a3_hist, lows[3]) + bs[3], 4))
                 (syms, _f, _s, a1r, a2r, a3r, states, gptr) = fwd_dec(
                     weights, tables, bias_rows, dummy_true, streams,
-                    states, gptr, mode0)
+                    states, gptr, mode0, thresh=th_c)
                 sym_flat = jnp.take(
                     syms.reshape(b_out, T2_pad * CQB), inv_idx,
                     axis=1).reshape(bl, H, W)
@@ -542,7 +581,7 @@ class PlanarCoder:
 
             _, syms_all = jax.lax.scan(
                 body, (q_hist, a1_hist, a2_hist, a3_hist, states_in, gptr0),
-                None, length=C)
+                _thresh_seq(thresh))
             syms_co = jnp.transpose(syms_all, (1, 0, 2, 3, 4)).reshape(
                 b_out, C * T2_pad, 1, CQB)
             return unpack(syms_co)
@@ -550,13 +589,13 @@ class PlanarCoder:
         dec_full_cache = {}
 
         def decode_full_dev(pc_params, centers, words_u16, states_in,
-                            rows_b):
+                            thresh, rows_b):
             if rows_b not in dec_full_cache:
                 dec_full_cache[rows_b] = self._shard_wrap(
                     functools.partial(decode_full_local, rows_b),
-                    n_rep=2, n_batch=2, n_out=2)
+                    n_rep=2, n_batch=3, n_out=2)
             return dec_full_cache[rows_b](pc_params, centers, words_u16,
-                                          states_in)
+                                          states_in, thresh)
 
         @functools.partial(jax.jit, static_argnames=('rows_b',))
         def pad_stream(words_u16, rows_b):
@@ -569,12 +608,13 @@ class PlanarCoder:
                     words_u16[:, j].astype(jnp.uint32))
             return full
 
-        run_dev = self._shard_wrap(run, n_rep=3, n_batch=3, n_out=3)
+        run_dev = self._shard_wrap(run, n_rep=3, n_batch=4, n_out=3)
         unpack_dev = self._shard_wrap(unpack, n_rep=0, n_batch=1, n_out=2)
         return _Fns(run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
                     sched, bsub, b_out, wrows, BR,
                     encode_full_dev if split else None,
-                    decode_full_dev if split else None)
+                    decode_full_dev if split else None,
+                    lane_totals=lane_totals, x0_enc=x0_enc)
 
     # -- public API (mirrors PallasCoder) -------------------------------------
 
@@ -589,9 +629,10 @@ class PlanarCoder:
                                  host_symbols, b, bsub_max=None)
 
     def _submit_with(self, pc_params, symbols, centers, latent_shape,
-                     host_symbols, b, bsub_max):
+                     host_symbols, b, bsub_max, x0=None):
         ks = self._run_fns(latent_shape, b, bsub_max)
         bsub, b_out, wrows, BR = ks.bsub, ks.b_out, ks.wrows, ks.BR
+        x0_used = ks.x0_enc if x0 is None else x0
         centers_j = jnp.asarray(centers)
         syms_flat = symbols.reshape(b, -1)
         pred = self._rneed_pred.get((latent_shape, ks.wrows, ks.bsub), 0)
@@ -599,39 +640,54 @@ class PlanarCoder:
             # Split mode: the whole encode (scan + reverse rANS + theo +
             # CRC + row gather) is ONE dispatch.
             outs = ks.encode_full(pc_params, centers_j, syms_flat,
-                                  rneed=pred)
+                                  rneed=pred, x0=x0_used)
         else:
             streams0 = jnp.zeros((b // bsub, bsub * wrows, 128), jnp.uint32)
             states0 = jnp.full((b // bsub, 1, BR), rans.RANS_L, jnp.uint32)
+            thr0 = jnp.full((b // bsub, 1, BR),
+                            np.iinfo(np.int32).max // 2, jnp.int32)
             _, fsel, ssel = ks.run_dev(pc_params, centers_j,
                                        jnp.ones((1,), jnp.int32), syms_flat,
-                                       streams0, states0)
-            outs = ks.rev_dev(fsel, ssel, syms_flat, rneed=pred)
-        words, n_words, states, theo, crcs = outs[:5]
-        presel = outs[5] if pred else None
+                                       streams0, states0, thr0)
+            outs = ks.rev_dev(fsel, ssel, syms_flat, rneed=pred, x0=x0_used)
+        words, n_words, states, kwarm, theo, crcs = outs[:6]
+        presel = outs[6] if pred else None
         # Early D2H: the tunnel streams the results down while the caller
         # keeps the device busy; the finish-time fetch finds them on host.
-        for a in (theo, n_words, states, crcs, presel):
+        for a in (theo, n_words, states, kwarm, crcs, presel):
             if a is not None and hasattr(a, 'copy_to_host_async'):
                 a.copy_to_host_async()
-        return (latent_shape, host_symbols, b, words, n_words, states, theo,
-                crcs, ks, pc_params, centers, symbols, presel, pred)
+        return (latent_shape, host_symbols, b, words, n_words, states, kwarm,
+                theo, crcs, ks, pc_params, centers, symbols, presel, pred,
+                x0_used)
 
     def encode_batch_finish(self, handle):
         from . import codec as codec_lib
-        (latent_shape, host_symbols, b, words, n_words, states, theo, crcs,
-         ks, pc_params, centers, symbols, presel, pred) = handle
+        (latent_shape, host_symbols, b, words, n_words, states, kwarm, theo,
+         crcs, ks, pc_params, centers, symbols, presel, pred,
+         x0_used) = handle
         bsub, wrows = ks.bsub, ks.wrows
         # ONE fetch for the scalars AND the predicted stream rows (two
         # sequential device_gets cost two round trips on the remote link).
         fetched = jax.device_get(
-            (theo, n_words, states, crcs) +
+            (theo, n_words, states, kwarm, crcs) +
             (() if presel is None else (presel,)))
-        theo, n_words, states, crcs = fetched[:4]
-        presel_h = fetched[4] if presel is not None else None
+        theo, n_words, states, kwarm, crcs = fetched[:5]
+        presel_h = fetched[5] if presel is not None else None
         crcs = np.asarray(crcs).reshape(b)
         n_words = np.asarray(n_words).reshape(b)
         states = np.asarray(states).reshape(b, R)
+        kwarm = np.asarray(kwarm).reshape(b, R)
+        tail = x0_used < rans.RANS_L
+        if tail and kwarm.size and int(kwarm.max()) > codec_lib.K_CAP:
+            # Pathological: some lane needs > K_CAP warmup symbols to
+            # reach RANS_L. Re-encode the whole batch with the classic
+            # seed (mirrors the K=3 driver).
+            print('*** planar encode: warmup exceeded K_CAP; re-encoding '
+                  'with x0=RANS_L')
+            return self.encode_batch_finish(self._submit_with(
+                pc_params, symbols, centers, latent_shape, host_symbols, b,
+                bsub_max=bsub, x0=rans.RANS_L))
         cap = wrows * 128
         if n_words.size and int(n_words.max()) > cap:
             # The bsub>=4 kernel caps the VMEM stream buffer at
@@ -668,7 +724,8 @@ class PlanarCoder:
             stream = host_words[i, :n_words[i]][::-1].astype(np.uint32)
             bitstream = codec_lib.serialize_stream(
                 latent_shape, stream, states[i], int(crcs[i]),
-                impl_id=codec_lib.IMPL_PLANAR, prec=0)
+                impl_id=codec_lib.IMPL_PLANAR, prec=0,
+                k=kwarm[i] if tail else None)
             results.append(codec_lib.EncodeResult(
                 bitstream=bitstream, num_bits=len(bitstream) * 8,
                 theoretical_bits=float(theo[i]),
@@ -704,27 +761,34 @@ class PlanarCoder:
         rows_b = min(wrows, _round_up(-(-nmax // 128) + 1, 8))
         packed = np.zeros((b // bsub, bsub, rows_b, 128), np.uint16)
         states = np.zeros((b // bsub, 1, bsub, R), np.uint32)
+        # Tail-packed (x0=1) streams: no pull in each lane's last k
+        # symbols (thresh = lane_totals - k); legacy streams get a huge
+        # threshold that never binds. Mixed batches are fine — the
+        # threshold is per lane.
+        thresh = np.full((b // bsub, 1, bsub, R),
+                         np.iinfo(np.int32).max // 2, np.int32)
         for i, (_, stream_words, st, _crc, k) in enumerate(parsed):
-            assert k is None, \
-                'tail-packed (x0=1) streams are not yet supported by the planar kernels'
             assert len(st) == R, (len(st), R)
             g, j = divmod(i, bsub)
             states[g, 0, j, :] = st
+            if k is not None:
+                thresh[g, 0, j, :] = ks.lane_totals - k.astype(np.int32)
             flat = packed[g, j].reshape(-1)
             flat[:len(stream_words)] = stream_words
         states_dev = jnp.asarray(states.reshape(b // bsub, 1, bsub * R))
+        thresh_dev = jnp.asarray(thresh.reshape(b // bsub, 1, bsub * R))
         if ks.decode_full is not None:
             # Split mode: stream padding + decode scan + unpack + CRC in
             # ONE dispatch (and no dummy teacher volume to materialize).
             out, crcs = ks.decode_full(pc_params, jnp.asarray(centers),
                                        jnp.asarray(packed), states_dev,
-                                       rows_b=rows_b)
+                                       thresh_dev, rows_b=rows_b)
         else:
             dummy_syms = jnp.zeros((b, n), jnp.int8)
             streams_dev = ks.pad_stream(jnp.asarray(packed), rows_b=rows_b)
             syms_co, _, _ = ks.run_dev(
                 pc_params, jnp.asarray(centers), jnp.zeros((1,), jnp.int32),
-                dummy_syms, streams_dev, states_dev)
+                dummy_syms, streams_dev, states_dev, thresh_dev)
             out, crcs = ks.unpack_dev(syms_co)
         if hasattr(crcs, 'copy_to_host_async'):
             crcs.copy_to_host_async()   # stream the CRCs down early
@@ -757,7 +821,8 @@ class PlanarCoder:
 class _Fns:
     def __init__(self, run_dev, rev_dev, take_fn, unpack_dev, pad_stream,
                  sched, bsub, b_out, wrows, BR,
-                 encode_full=None, decode_full=None):
+                 encode_full=None, decode_full=None,
+                 lane_totals=None, x0_enc=rans.RANS_L):
         self.run_dev = run_dev
         self.rev_dev = rev_dev
         self.take_fn = take_fn
@@ -770,3 +835,5 @@ class _Fns:
         self.BR = BR
         self.encode_full = encode_full     # split mode: ONE-dispatch paths
         self.decode_full = decode_full
+        self.lane_totals = lane_totals   # (R,) active symbols per rANS lane
+        self.x0_enc = x0_enc             # encoder seed (1 = tail packing)

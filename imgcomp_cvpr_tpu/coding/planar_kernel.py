@@ -109,10 +109,10 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     def kernel(table_ref, mode_ref, pad_ref, gin_ref,
                w1_ref, w2_ref, w3_ref, w4_ref, centers_ref,
                actp_ref, acm_ref, b1_ref, b2_ref, b3_ref, b4_ref,
-               true_ref, stream_ref, inst_ref,
+               true_ref, stream_ref, inst_ref, thr_ref,
                sym_out, fsel_out, ssel_out, a1_out, a2_out, a3_out,
                st_out, gout_ref,
-               r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
+               r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, cnt_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
@@ -133,6 +133,7 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
                 gout_ref[0, 0, 0] = 0
             else:
                 states_s[:] = inst_ref[0]
+                cnt_s[:] = jnp.zeros((1, BR), jnp.int32)
                 for i in range(bsub):
                     gptr_s[i] = gin_ref[0, 0, i]
             if dec_only:
@@ -143,9 +144,9 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
             _one_step(k, tb, table_ref, mode_ref, pad_ref,
                       w1_ref, w2_ref, w3_ref, w4_ref, centers_ref,
                       actp_ref, acm_ref, b1_ref, b2_ref, b3_ref, b4_ref,
-                      true_ref, stream_ref,
+                      true_ref, stream_ref, thr_ref,
                       sym_out, fsel_out, ssel_out, a1_out, a2_out, a3_out,
-                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s)
+                      r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, cnt_s)
 
         if not enc_teacher:
             st_out[0] = states_s[:]
@@ -156,9 +157,9 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
     def _one_step(k, tb, table_ref, mode_ref, pad_ref,
                   w1_ref, w2_ref, w3_ref, w4_ref, centers_ref,
                   actp_ref, acm_ref, b1_ref, b2_ref, b3_ref, b4_ref,
-                  true_ref, stream_ref,
+                  true_ref, stream_ref, thr_ref,
                   sym_out, fsel_out, ssel_out, a1_out, a2_out, a3_out,
-                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s):
+                  r0, r1, r2, r3, X, y1s, vals, states_s, gptr_s, cnt_s):
         t = tb * KS + k
 
         def rd_slot(off):
@@ -231,7 +232,17 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
                 sd = jnp.sum(jnp.where(ohd, cl, 0), axis=0, keepdims=True)
                 x = (fd.astype(jnp.uint32) * (st >> rans.SCALE_BITS)
                      + slot_u - sd.astype(jnp.uint32))
-                need = a & (x < jnp.uint32(rans.RANS_L))
+                # Tail packing (container v8, rans.scalar_encode): the
+                # pull test switches off once a lane has decoded
+                # thresh = total - k symbols — the encoder's x0=1 warmup
+                # emitted nothing there. The driver passes a per-PLANE
+                # adjusted threshold (global thresh minus the preceding
+                # planes' per-lane symbol counts — the active mask is
+                # identical for every plane); legacy streams pass a huge
+                # thresh and the guard never binds.
+                need = (a & (x < jnp.uint32(rans.RANS_L))
+                        & (cnt_s[:] < thr_ref[0]))
+                cnt_s[:] = cnt_s[:] + a.astype(jnp.int32)
                 ni = need.astype(jnp.int32)
                 rank = pk._excl_rank(ni, bsub)
                 wparts = []
@@ -343,6 +354,8 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
         true_spec,                                                  # true
         stream_spec,                                                # stream
         inst_spec,                                                  # states
+        (pl.BlockSpec((1, 1, 128), lambda b, t: (0, 0, 0)) if enc_teacher
+         else pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0))),    # thresh
     ]
     out_specs = (
         sym_spec,
@@ -374,6 +387,7 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
         pltpu.VMEM((1, W_ALL), jnp.float32),             # vals
         pltpu.VMEM((1, BR), jnp.uint32),                 # states
         pltpu.SMEM((bsub,), jnp.int32),                  # gptr
+        pltpu.VMEM((1, BR), jnp.int32),                  # cnt (tail packing)
     ]
 
     call = pl.pallas_call(
@@ -383,12 +397,17 @@ def make_plane_forward(latent_shape: Tuple[int, int, int], K: int, kf: int,
             dimension_semantics=('arbitrary', 'arbitrary')))
 
     def fn(weights, tables, bias_rows, true_syms, streams, states, gptr,
-           mode):
+           mode, thresh=None):
         pad_v, w1, w2, w3, w4, centers = weights
         table, actp, acm = tables
         b1, b2, b3, b4 = bias_rows
+        if thresh is None:     # legacy / encode: the guard must never bind
+            tsh = ((1, 1, 128) if enc_teacher else
+                   (states.shape[0], 1, BR))
+            thresh = jnp.full(tsh, np.iinfo(np.int32).max // 2, jnp.int32)
         return call(table, mode, pad_v, gptr, w1, w2, w3, w4, centers,
-                    actp, acm, b1, b2, b3, b4, true_syms, streams, states)
+                    actp, acm, b1, b2, b3, b4, true_syms, streams, states,
+                    thresh)
 
     return fn, sched
 
@@ -420,7 +439,14 @@ def plane_stream_rows(sched, bsub: int, L: int = 0) -> int:
 
 @functools.lru_cache(maxsize=8)
 def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
-                       bsub: int = 1, L: int = 0, interpret: bool = False):
+                       bsub: int = 1, L: int = 0, interpret: bool = False,
+                       x0: int = rans.RANS_L):
+    """x0 = 1 is container-v8 tail packing (rans.scalar_encode): lanes
+    seed below RANS_L, the per-lane warmup counts k are transmitted, and
+    the decoder suppresses its pull test for each lane's last k symbols
+    (make_plane_forward's thresh input — mirrors pallas_kernel.
+    make_reverse). x0 = RANS_L reproduces the classic streams (k all
+    zero)."""
     sched = planar.build_planar_schedule(latent_shape, K)
     C = latent_shape[0]
     BR = bsub * R
@@ -430,12 +456,13 @@ def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
     KS = 1 if interpret else K_STEPS
 
     def kernel(table_ref, act_ref, fsel_ref, ssel_ref,
-               words_out, nw_out, st_out, states_s, gw_s):
+               words_out, nw_out, st_out, k_out, states_s, gw_s, kc_s):
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
         def _init():
-            states_s[:] = jnp.full((1, BR), rans.RANS_L, jnp.uint32)
+            states_s[:] = jnp.full((1, BR), x0, jnp.uint32)
+            kc_s[:] = jnp.zeros((1, BR), jnp.int32)
             for i in range(bsub):
                 gw_s[i] = 0
             words_out[:] = jnp.zeros(words_out.shape, jnp.uint32)
@@ -448,6 +475,11 @@ def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
                 sv = ssel_ref[0, k, :, 0:BR].astype(jnp.uint32)
                 a = act_ref[k, :, 0:BR] != 0
                 st = states_s[:]
+                if x0 < rans.RANS_L:
+                    # warmup count: pre-renorm state below RANS_L (no
+                    # emission is possible there: f << 16 >= RANS_L > st)
+                    kc_s[:] = kc_s[:] + (
+                        a & (st < jnp.uint32(rans.RANS_L))).astype(jnp.int32)
                 emit = a & (st >= (f << rans.WORD_BITS))
                 word = (st & jnp.uint32(rans.WORD_MASK)).astype(jnp.int32)
                 ei = emit.astype(jnp.int32)
@@ -482,6 +514,7 @@ def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
             row = row + jnp.where(iota_b == i, gw_s[i], 0)
         nw_out[:] = row
         st_out[0] = states_s[:]
+        k_out[0] = kc_s[:]
 
     TB = NROW // KS
     grid = (B, TB)
@@ -494,12 +527,15 @@ def make_plane_reverse(latent_shape: Tuple[int, int, int], K: int, B: int,
     ]
     out_specs = (pl.BlockSpec((1, bsub * wrows, 128), lambda b, t: (b, 0, 0)),
                  pl.BlockSpec((1, 1, bsub), lambda b, t: (b, 0, 0)),
+                 pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)),
                  pl.BlockSpec((1, 1, BR), lambda b, t: (b, 0, 0)))
     out_shape = (jax.ShapeDtypeStruct((B, bsub * wrows, 128), jnp.uint32),
                  jax.ShapeDtypeStruct((B, 1, bsub), jnp.int32),
-                 jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32))
+                 jax.ShapeDtypeStruct((B, 1, BR), jnp.uint32),
+                 jax.ShapeDtypeStruct((B, 1, BR), jnp.int32))
     scratch = [pltpu.VMEM((1, BR), jnp.uint32),
-               pltpu.SMEM((bsub,), jnp.int32)]
+               pltpu.SMEM((bsub,), jnp.int32),
+               pltpu.VMEM((1, BR), jnp.int32)]
 
     call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
