@@ -48,15 +48,22 @@ np.testing.assert_array_equal(dec, syms.astype(np.int32))
 print(f'K={K} PLANAR ROUNDTRIP BIT-EXACT ON TPU', flush=True)
 
 n = 4
-t0 = time.time()
+enc_ts, dec_ts = [], []
 for _ in range(n):
+    # per-iteration times: the FIRST loop encode compiles the predicted-
+    # rneed fused executable (the presel fast path) — best-of is the
+    # warm number, mirroring bench.py's loop policy
+    t0 = time.time()
     enc = codec.encode_batch(pc_params, syms, centers)
-enc_t = (time.time() - t0) / n
-t0 = time.time()
+    enc_ts.append(time.time() - t0)
 for _ in range(n):
+    t0 = time.time()
     codec.decode_batch(pc_params, [r.bitstream for r in enc], centers,
                        device_out=True)
-dec_t = (time.time() - t0) / n
+    dec_ts.append(time.time() - t0)
+print('enc iters', [f'{t:.2f}' for t in enc_ts],
+      'dec iters', [f'{t:.2f}' for t in dec_ts], flush=True)
+enc_t, dec_t = min(enc_ts), min(dec_ts)
 tot = enc_t + dec_t
 print(f'enc {enc_t*1e3:.0f} ms ({enc_t/B*1e3:.0f} ms/img), '
       f'dec {dec_t*1e3:.0f} ms ({dec_t/B*1e3:.0f} ms/img), '

@@ -40,20 +40,25 @@ from . import wavefront
 
 MAGIC = b'\xa7'  # imgcomp-cvpr-tpu codec (1 byte: the container's fixed
                  # cost is a first-class metric — VERDICT r3 #4)
-VERSION = 9  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
-             # per-lane warmup counts k ride the container and the
-             # decoder suppresses its renorm pull for each lane's last k
-             # symbols — see rans.scalar_encode) + v9 bit-packed side
-             # info: the header shrinks 15 -> 12 bytes (4-bit version,
-             # 3-bit impl, 12-bit shape fields with a wide escape), the
-             # wide-mode state-length descriptors shrink 5 -> ~4.1 bits
-             # (d=0 keeps hi=0 legal, d=15 borrows one bit for
-             # ln in {15,16}), and the k-table stores kmin plus
-             # span-width deltas instead of absolute-width entries.
-             # ~100 bits/image at the bench operating point (PERF.md
-             # floor decomposition). Earlier versions are rejected
-             # cleanly by the version check. The version field is 4
-             # bits — the format has headroom to v15.
+VERSION = 10  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
+              # per-lane warmup counts k ride the container and the
+              # decoder suppresses its renorm pull for each lane's last k
+              # symbols — see rans.scalar_encode) + v9 bit-packed side
+              # info: the header shrinks 15 -> 12 bytes (4-bit version,
+              # 3-bit impl, 12-bit shape fields with a wide escape), the
+              # wide-mode state-length descriptors shrink 5 -> ~4.1 bits
+              # (d=0 keeps hi=0 legal, d=15 borrows one bit for
+              # ln in {15,16}), and the k-table stores kmin plus
+              # span-width deltas. v10 entropy-codes the k-table: the
+              # per-lane warmups are bell-shaped around their median
+              # (measured, PERF.md), so a median-anchored zigzag Rice
+              # code beats the flat span-width deltas (whose width a
+              # single outlier lane sets for everyone) by ~1.5-2.5
+              # bits/lane; a per-image scheme bit keeps the flat code as
+              # the worst-case escape, so v10 is never larger than v9.
+              # v8/v9 archives still parse (frozen branches below).
+              # Earlier versions are rejected cleanly by the version
+              # check. The version field is 4 bits — headroom to v15.
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
@@ -626,6 +631,8 @@ def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False,
     """Inverse of _pack_states; returns (states_u32, bytes_consumed).
     v8wide parses the container-v8 flat 5-bit wide descriptor (v9 moved
     to the 4-bit + escape scheme)."""
+    if pos + 2 * r > len(data):
+        raise ValueError('truncated container (state block)')
     lo = np.frombuffer(data[pos:pos + 2 * r], np.uint16)
     base = pos + 2 * r
     bits = 0
@@ -699,7 +706,8 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
     shape = tuple(int(v) for v in latent_shape)
     assert len(shape) == 3 and all(0 <= v < (1 << 16) for v in shape), shape
     shapewide = any(v >= (1 << 12) for v in shape)
-    hdr = int.from_bytes(MAGIC, 'little')
+    shapenarrow = all(v < (1 << 8) for v in shape)   # v10: 8-bit dims,
+    hdr = int.from_bytes(MAGIC, 'little')            # header 12 -> 11 B
     hdr |= VERSION << 8
     hdr |= (impl_id & 0x7) << 12
     hdr |= (1 if k is not None else 0) << 15
@@ -707,8 +715,9 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
     hdr |= (1 if rawesc else 0) << 18
     hdr |= (1 if shapewide else 0) << 19
     hdr |= r << 20
-    pos = 28                                        # bit 27 spare
-    sw = 16 if shapewide else 12
+    hdr |= (1 if shapenarrow else 0) << 27
+    pos = 28
+    sw = 16 if shapewide else (8 if shapenarrow else 12)
     for v in shape:
         hdr |= v << pos
         pos += sw
@@ -721,18 +730,96 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
         k = np.asarray(k, np.int64)
         assert len(k) == r and k.min() >= 0 and k.max() <= K_CAP, \
             (len(k), r, int(k.min()), int(k.max()))
-        kmin = int(k.min())
-        kw = max(1, int(k.max() - kmin).bit_length())
-        assert kw <= 16, kw                      # _read_bits limit
-        acc = kw - 1                             # 4-bit width nibble
-        nb = 4
+        buf.write(_pack_ktable(k))
+    buf.write(stream_words.astype(np.uint16).tobytes())
+    return buf.getvalue()
+
+
+def _pack_ktable(k: np.ndarray) -> bytes:
+    """v10 k-table (LSB-first bit stream): a varint anchor (4-bit
+    bit_length, then bit_length-1 mantissa bits with the MSB implicit;
+    length 0 encodes anchor 0), 1 scheme bit, 4 param bits, payload.
+    scheme 0 = flat: anchor = min(k), r deltas of kw = param+1 bits (the
+    v9 code behind a scheme bit — the worst-case escape). scheme 1 =
+    Rice: anchor = median(k), per lane zigzag(k - anchor) as q one-bits
+    + a zero + param remainder bits. The lane warmups track the same
+    content (bell-shaped around the median, thin tails — PERF.md), so
+    Rice with an optimal per-image parameter beats the flat span width
+    (which a single outlier lane sets for everyone) by ~1.5-2.5
+    bits/lane; the cheaper scheme is chosen exactly, so v10 never loses
+    to v9."""
+    r = len(k)
+    kmin = int(k.min())
+    kw = max(1, int(k.max() - kmin).bit_length())
+    flat_bits = 5 + r * kw
+    kmed = int(np.median(k))
+    res = k - kmed
+    z = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+    rice_m, rice_bits = 0, None
+    for m in range(16):
+        c = int(np.sum(z >> m)) + r * (1 + m)
+        if rice_bits is None or c < rice_bits:
+            rice_m, rice_bits = m, c
+    rice_bits += 5
+    use_rice = rice_bits < flat_bits
+    anchor = kmed if use_rice else kmin
+    ln = anchor.bit_length()
+    assert ln <= 16
+    acc, nb = ln, 5                  # varint anchor: 5-bit length 0..16
+    if ln:
+        acc |= (anchor - (1 << (ln - 1))) << nb      # MSB implicit
+        nb += ln - 1
+    if use_rice:
+        acc |= (1 | (rice_m << 1)) << nb
+        nb += 5
+        for zv in z:
+            q = int(zv) >> rice_m
+            acc |= ((1 << q) - 1) << nb              # q ones + a zero
+            nb += q + 1
+            acc |= (int(zv) & ((1 << rice_m) - 1)) << nb
+            nb += rice_m
+    else:
+        acc |= ((kw - 1) << 1) << nb
+        nb += 5
         for kv in k:
             acc |= (int(kv) - kmin) << nb
             nb += kw
-        buf.write(np.asarray([kmin], np.uint16).tobytes())
-        buf.write(acc.to_bytes((nb + 7) // 8, 'little'))
-    buf.write(stream_words.astype(np.uint16).tobytes())
-    return buf.getvalue()
+    return acc.to_bytes((nb + 7) // 8, 'little')
+
+
+def _unpack_ktable(r: int, data: bytes, pos: int):
+    """Inverse of _pack_ktable; returns (k_int32, bytes_consumed)."""
+    ln = _read_bits(data, pos, 0, 5)
+    bits = 5
+    if ln > 16:
+        raise ValueError('corrupt k-table (anchor length)')
+    anchor = 0
+    if ln:
+        anchor = (1 << (ln - 1)) | _read_bits(data, pos, bits, ln - 1)
+        bits += ln - 1
+    scheme = _read_bits(data, pos, bits, 1)
+    param = _read_bits(data, pos, bits + 1, 4)
+    bits += 5
+    k = np.empty(r, np.int32)
+    if scheme == 0:
+        kw = param + 1
+        for i in range(r):
+            k[i] = anchor + _read_bits(data, pos, bits, kw)
+            bits += kw
+    else:
+        qcap = 2 * K_CAP + 2                 # fuzz safety: bounded unary
+        for i in range(r):
+            q = 0
+            while _read_bits(data, pos, bits, 1):
+                q += 1
+                bits += 1
+                if q > qcap or pos + (bits >> 3) >= len(data):
+                    raise ValueError('corrupt k-table (unbounded unary)')
+            bits += 1
+            z = (q << param) | _read_bits(data, pos, bits, param)
+            bits += param
+            k[i] = anchor + ((z >> 1) if (z & 1) == 0 else -((z + 1) >> 1))
+    return k, (bits + 7) // 8
 
 
 def _deserialize_v8(data: bytes):
@@ -746,6 +833,8 @@ def _deserialize_v8(data: bytes):
     r = data[14]
     if r & 0x80:                                     # raw-states escape
         r &= 0x7F
+        if 15 + 4 * r > len(data):
+            raise ValueError('truncated container (raw states)')
         states = np.frombuffer(data[15:15 + 4 * r], np.uint32).copy()
         consumed = 4 * r
     else:
@@ -773,18 +862,23 @@ def deserialize_stream(data: bytes):
     version = (data[1]) & 0xF
     if version == 8:
         return _deserialize_v8(data)
-    assert version == VERSION, version
+    # v9 differs from v10 only in the k-table block (flat span-width
+    # deltas vs scheme-bit flat/Rice) — one parser, one branch below.
+    assert version in (9, VERSION), version
     hdr = int.from_bytes(data[:14], 'little')
     tail_mode = bool((hdr >> 15) & 1)
     rawesc = bool((hdr >> 18) & 1)
     shapewide = bool((hdr >> 19) & 1)
     r = (hdr >> 20) & 0x7F
-    sw = 16 if shapewide else 12
+    shapenarrow = bool((hdr >> 27) & 1)             # v10 (v9 spare = 0)
+    sw = 16 if shapewide else (8 if shapenarrow else 12)
     latent_shape = tuple((hdr >> (28 + i * sw)) & ((1 << sw) - 1)
                          for i in range(3))
     sym_crc = (hdr >> (28 + 3 * sw)) & 0xFFFFFFFF
-    pos = (28 + 3 * sw + 32 + 7) // 8               # 12 or 14
+    pos = (28 + 3 * sw + 32 + 7) // 8               # 11, 12 or 14
     if rawesc:
+        if pos + 4 * r > len(data):
+            raise ValueError('truncated container (raw states)')
         states = np.frombuffer(data[pos:pos + 4 * r], np.uint32).copy()
         pos += 4 * r
     else:
@@ -792,13 +886,19 @@ def deserialize_stream(data: bytes):
         pos += consumed
     k = None
     if tail_mode:
-        kmin = int(np.frombuffer(data[pos:pos + 2], np.uint16)[0])
-        pos += 2
-        kw = _read_bits(data, pos, 0, 4) + 1
-        k = np.empty(r, np.int32)
-        for i in range(r):
-            k[i] = kmin + _read_bits(data, pos, 4 + i * kw, kw)
-        pos += (4 + r * kw + 7) // 8
+        if version == 9:                      # frozen v9 flat k-table
+            kmin = int(np.frombuffer(data[pos:pos + 2], np.uint16)[0])
+            pos += 2
+            kw = _read_bits(data, pos, 0, 4) + 1
+            k = np.empty(r, np.int32)
+            for i in range(r):
+                k[i] = kmin + _read_bits(data, pos, 4 + i * kw, kw)
+            pos += (4 + r * kw + 7) // 8
+        else:
+            k, consumed = _unpack_ktable(r, data, pos)
+            pos += consumed
+    if pos > len(data):
+        raise ValueError('truncated container (side info)')
     tail = data[pos:]
     assert len(tail) % 2 == 0, 'truncated container'
     stream_words = np.frombuffer(tail, np.uint16).astype(np.uint32)

@@ -405,6 +405,198 @@ def test_container_v8_streams_decode(tiny_pc_setup, monkeypatch):
         np.testing.assert_array_equal(got, symbols)
 
 
+def _serialize_v9(latent_shape, stream_words, final_states, sym_crc=0,
+                  impl_id=2, prec=0, k=None):
+    """Frozen copy of the container-v9 WRITER (bit-packed 12/14-byte
+    header — no narrow-shape mode — and the flat kmin + span-width-delta
+    k-table that v10 replaced with the scheme-bit flat/Rice code). Kept
+    verbatim so v9-era archives stay covered."""
+    import io as _io
+
+    def pack_states_v9(final_states, wide=False):
+        st = np.asarray(final_states, np.uint64)
+        lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
+        hi = (st >> np.uint64(16)).astype(np.uint32)
+        acc, nbits = 0, 0
+        for h in hi:
+            h = int(h)
+            if wide:
+                ln = h.bit_length()
+                if ln < 15:
+                    acc |= ln << nbits
+                    nbits += 4
+                else:
+                    acc |= 15 << nbits
+                    acc |= (ln - 15) << (nbits + 4)
+                    nbits += 5
+                if ln:
+                    acc |= (h - (1 << (ln - 1))) << nbits
+                    nbits += ln - 1
+            else:
+                ln = h.bit_length() - 1
+                acc |= ln << nbits
+                nbits += 4
+                acc |= (h - (1 << ln)) << nbits
+                nbits += ln
+        return lo.tobytes() + acc.to_bytes((nbits + 7) // 8, 'little')
+
+    r = len(final_states)
+    packed = pack_states_v9(final_states, wide=k is not None)
+    rawesc = len(packed) > 4 * r
+    if rawesc:
+        packed = np.asarray(final_states, np.uint32).tobytes()
+    shape = tuple(int(v) for v in latent_shape)
+    shapewide = any(v >= (1 << 12) for v in shape)
+    hdr = int.from_bytes(codec_lib.MAGIC, 'little')
+    hdr |= 9 << 8
+    hdr |= (impl_id & 0x7) << 12
+    hdr |= (1 if k is not None else 0) << 15
+    hdr |= (prec & 0x3) << 16
+    hdr |= (1 if rawesc else 0) << 18
+    hdr |= (1 if shapewide else 0) << 19
+    hdr |= r << 20
+    pos = 28
+    sw = 16 if shapewide else 12
+    for v in shape:
+        hdr |= v << pos
+        pos += sw
+    hdr |= (sym_crc & 0xFFFFFFFF) << pos
+    pos += 32
+    buf = _io.BytesIO()
+    buf.write(hdr.to_bytes((pos + 7) // 8, 'little'))
+    buf.write(packed)
+    if k is not None:
+        k = np.asarray(k, np.int64)
+        kmin = int(k.min())
+        kw = max(1, int(k.max() - kmin).bit_length())
+        acc = kw - 1
+        nb = 4
+        for kv in k:
+            acc |= (int(kv) - kmin) << nb
+            nb += kw
+        buf.write(np.asarray([kmin], np.uint16).tobytes())
+        buf.write(acc.to_bytes((nb + 7) // 8, 'little'))
+    buf.write(np.asarray(stream_words, np.uint16).tobytes())
+    return buf.getvalue()
+
+
+# One v9 container captured as literal bytes (generated by the frozen
+# writer above): shape (4,6,8), impl 3, prec 1, crc 0xDEADBEEF,
+# states [2^16, 5, 70000], k [3, 0, 12], words [1, 65535, 258].
+_V9_PINNED_HEX = ('a7b9314000068000efbeadde00000500701101'
+                  '01000033c00100ffff0201')
+_V9_PINNED = bytes.fromhex(_V9_PINNED_HEX)
+
+
+def test_container_v9_parse_pinned_bytes():
+    """v9-era archives must keep parsing byte-for-byte (VERSION is now
+    10; deserialize_stream shares one parser and branches on the version
+    nibble only at the k-table block)."""
+    shape, words, states, crc, k = codec_lib.deserialize_stream(_V9_PINNED)
+    assert shape == (4, 6, 8)
+    assert crc == 0xDEADBEEF
+    np.testing.assert_array_equal(states,
+                                  np.asarray([1 << 16, 5, 70000], np.uint32))
+    np.testing.assert_array_equal(k, np.asarray([3, 0, 12], np.int32))
+    np.testing.assert_array_equal(words,
+                                  np.asarray([1, 65535, 258], np.uint32))
+    assert codec_lib.stream_impl_id(_V9_PINNED) == 3
+    assert codec_lib.stream_prec(_V9_PINNED) == 1
+    regen = _serialize_v9((4, 6, 8), words, states, sym_crc=0xDEADBEEF,
+                          impl_id=3, prec=1, k=k)
+    assert regen == _V9_PINNED
+
+
+def test_container_v9_streams_decode(tiny_pc_setup, monkeypatch):
+    """End-to-end v9 back-compat: streams the v9-era encoder would have
+    produced must decode bit-exactly through the current codec, legacy
+    AND tail-packed, including mixed v9+v10 batches."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(17)
+    symbols = rng.randint(0, 6, size=latent)
+    impl_id = codec_lib.IMPL_IDS[codec.impl]
+
+    res_leg = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_leg.bitstream)
+    assert k is None
+    v9_leg = _serialize_v9(shape, words, states, sym_crc=crc,
+                           impl_id=impl_id)
+    np.testing.assert_array_equal(
+        codec.decode(params, v9_leg, centers), symbols)
+
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    res_tail = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_tail.bitstream)
+    assert k is not None
+    v9_tail = _serialize_v9(shape, words, states, sym_crc=crc,
+                            impl_id=impl_id, k=k)
+    np.testing.assert_array_equal(
+        codec.decode(params, v9_tail, centers), symbols)
+    mixed = codec.decode_batch(
+        params, [v9_tail, res_leg.bitstream, res_tail.bitstream], centers)
+    for got in mixed:
+        np.testing.assert_array_equal(got, symbols)
+
+
+def test_container_v10_ktable_and_narrow_shape():
+    """v10 k-table (varint anchor + scheme-bit flat/Rice) round-trips
+    over adversarial k distributions and never exceeds the v9 flat size
+    by more than the 4-bit anchor-varint overhead; narrow shapes (<256
+    per dim) get the 11-byte header."""
+    rng = np.random.RandomState(3)
+    for trial in range(60):
+        r = int(rng.choice([1, 16, 32, 64]))
+        style = trial % 6
+        if style == 0:
+            k = rng.randint(0, 3, size=r)
+        elif style == 1:
+            k = np.clip(rng.normal(800, 120, size=r), 0,
+                        codec_lib.K_CAP).astype(np.int64)
+        elif style == 2:
+            k = rng.randint(0, codec_lib.K_CAP + 1, size=r)
+        elif style == 3:
+            k = np.full(r, rng.randint(0, codec_lib.K_CAP + 1))
+        elif style == 4:
+            k = np.zeros(r, np.int64)
+        else:
+            k = np.clip(rng.normal(600, 100, size=r), 0,
+                        codec_lib.K_CAP).astype(np.int64)
+            k[rng.randint(r)] = rng.randint(0, codec_lib.K_CAP + 1)
+        k = np.asarray(k)
+        blob = codec_lib._pack_ktable(k)
+        k2, consumed = codec_lib._unpack_ktable(r, blob, 0)
+        assert consumed == len(blob)
+        np.testing.assert_array_equal(k2, k)
+        kw = max(1, int(k.max() - k.min()).bit_length())
+        v9_bits = 16 + 4 + r * kw
+        # worst case: a 16-bit anchor's varint costs 5+15 = 20 bits vs
+        # v9's fixed 16, plus the scheme bit, plus byte padding
+        assert len(blob) * 8 <= v9_bits + 5 + 7
+        states = rng.randint(1, 1 << 32, size=r).astype(np.uint32)
+        words = rng.randint(0, 1 << 16, size=9).astype(np.uint32)
+        for shape, hdr_len in [((4, 6, 8), 11), ((32, 300, 96), 12),
+                               ((32, 5000, 8), 14)]:
+            b = codec_lib.serialize_stream(shape, words, states,
+                                           sym_crc=77, impl_id=3, k=k)
+            sh, w2, st2, crc, k3 = codec_lib.deserialize_stream(b)
+            assert (sh, crc) == (shape, 77)
+            np.testing.assert_array_equal(k3, k)
+            np.testing.assert_array_equal(w2, words)
+            np.testing.assert_array_equal(st2, states)
+            # header length: the states block starts right after it
+            rawesc = bool((int.from_bytes(b[:4], 'little') >> 18) & 1)
+            if rawesc:
+                raw = np.frombuffer(b[hdr_len:hdr_len + 4 * r], np.uint32)
+                np.testing.assert_array_equal(raw, states)
+            else:
+                lo = np.frombuffer(b[hdr_len:hdr_len + 2 * r], np.uint16)
+                np.testing.assert_array_equal(
+                    lo, (states & 0xFFFF).astype(np.uint16))
+
+
 # ---------------- container fuzzing ----------------
 
 def test_container_parser_fuzz():
