@@ -40,7 +40,7 @@ from . import wavefront
 
 MAGIC = b'\xa7'  # imgcomp-cvpr-tpu codec (1 byte: the container's fixed
                  # cost is a first-class metric — VERDICT r3 #4)
-VERSION = 10  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
+VERSION = 11  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
               # per-lane warmup counts k ride the container and the
               # decoder suppresses its renorm pull for each lane's last k
               # symbols — see rans.scalar_encode) + v9 bit-packed side
@@ -55,10 +55,19 @@ VERSION = 10  # v8 (x0=1 tail packing: no 16-bit seed flush per lane, the
               # code beats the flat span-width deltas (whose width a
               # single outlier lane sets for everyone) by ~1.5-2.5
               # bits/lane; a per-image scheme bit keeps the flat code as
-              # the worst-case escape, so v10 is never larger than v9.
-              # v8/v9 archives still parse (frozen branches below).
-              # Earlier versions are rejected cleanly by the version
-              # check. The version field is 4 bits — headroom to v15.
+              # the worst-case escape, so v10 is never larger than v9;
+              # v10 also packs sub-256 shape dims in 8 bits (11-byte
+              # header). v11 runs the state-hi bit-length DESCRIPTORS
+              # through the same flat/Rice coder: on real streams the
+              # final states cluster near 2**32 (descriptors 15-16), so
+              # Rice around the median costs ~1.3 bits/lane vs v10's
+              # ~4.1; a selector bit keeps the v10 per-lane descriptors
+              # as the worst-case escape (and rawesc still bounds
+              # everything at raw u32), so v11 never loses more than
+              # that one bit. v8/v9/v10 archives still parse (frozen
+              # branches below). Earlier versions are rejected cleanly
+              # by the version check. The version field is 4 bits —
+              # headroom to v15.
 
 # Container impl ids: a stream must be decoded by the implementation that
 # encoded it (bit-exactness holds per executable); the header makes decode
@@ -575,48 +584,89 @@ class LatentCodec:
 # ---------------------------------------------------------------------------
 
 def _pack_states(final_states: np.ndarray, wide: bool = False) -> bytes:
-    """Entropy-pack R decoder-entry rANS states. x = hi*2^16 + lo with
-    hi in [1, 2^16): lo is a uniform slot (incompressible, shipped raw);
-    hi is ~1/x log-uniform, shipped as a 4-bit length len = bit_length-1
-    plus len value bits with the MSB implicit (~11.5 bits avg vs 16).
-    Saves ~4.5 bits/lane typically; the worst case (every hi at 16 bits)
-    costs 19 bits/lane, so serialize_stream escapes to raw u32 states
-    (header rawesc bit) whenever packing would not win.
+    """Entropy-pack R decoder-entry rANS states (v11 writer).
+    x = hi*2^16 + lo: lo is a uniform slot (incompressible, shipped
+    raw); hi ships as a bit-length DESCRIPTOR table followed by every
+    lane's MSB-implicit mantissa. The first bit selects the descriptor
+    scheme, exact-min: scheme 1 runs the descriptors through the shared
+    flat/Rice coder (_rice_pack_bits — on real streams the final states
+    cluster near 2**32, so the bit-lengths sit at 15-16 and Rice around
+    the median costs ~1.3 bits/lane); scheme 0 is the v10 per-lane
+    descriptor code (4 bits; wide: d=15 borrows a 16th-length selector
+    bit) as the worst-case escape, so v11 never pays more than the
+    selector bit over v10. serialize_stream still escapes the whole
+    block to raw u32 states (header rawesc bit) whenever packing would
+    not beat raw.
 
     wide=True (tail-packed streams, x0=1): hi may be 0 — a lane whose
-    whole content fits the sub-2^16 warmup. v9 keeps the descriptor at
-    4 bits d: d=0 => hi=0 (no value bits); d in [1,14] => bit_length
-    d with d-1 value bits; d=15 => one extra bit b selects bit_length
-    15+b (so only the 1/8 of lanes with 31-32-bit states pay a 5th
-    descriptor bit — ~4.1 bits avg vs v8's flat 5)."""
+    whole content fits the sub-2^16 warmup; descriptor = bit_length(hi)
+    in [0, 16], mantissa bit_length-1 bits. wide=False (classic seed):
+    hi >= 1; descriptor = bit_length(hi)-1 in [0, 15], mantissa
+    descriptor bits."""
     st = np.asarray(final_states, np.uint64)
     lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
-    hi = (st >> np.uint64(16)).astype(np.uint32)
-    acc = 0
-    nbits = 0
-    for h in hi:
-        h = int(h)
-        if wide:
-            ln = h.bit_length()                 # in [0, 16]
-            if ln < 15:
-                acc |= ln << nbits              # d = ln (0 => hi = 0)
-                nbits += 4
-            else:
-                acc |= 15 << nbits
-                acc |= (ln - 15) << (nbits + 4)  # 1-bit 15/16 selector
-                nbits += 5
-            if ln:
-                acc |= (h - (1 << (ln - 1))) << nbits   # MSB implicit
-                nbits += ln - 1
+    his = [int(v) for v in (st >> np.uint64(16))]
+    if wide:
+        ln = [h.bit_length() for h in his]                 # in [0, 16]
+        mw = [max(l - 1, 0) for l in ln]
+    else:
+        assert min(his) >= 1, 'rANS state below the renormalization interval'
+        ln = [h.bit_length() - 1 for h in his]             # in [0, 15]
+        mw = ln
+    acc1, nb1 = _rice_pack_bits(np.asarray(ln, np.int64), 1, 1)
+    acc0, nb0 = 0, 1
+    for l in ln:
+        if wide and l >= 15:
+            acc0 |= (15 | ((l - 15) << 4)) << nb0
+            nb0 += 5
         else:
-            assert h >= 1, 'rANS state below the renormalization interval'
-            ln = h.bit_length() - 1             # in [0, 15]
-            acc |= ln << nbits
-            nbits += 4
-            acc |= (h - (1 << ln)) << nbits     # MSB implicit
-            nbits += ln
-    packed = acc.to_bytes((nbits + 7) // 8, 'little')
-    return lo.tobytes() + packed
+            acc0 |= l << nb0
+            nb0 += 4
+    acc, nbits = (acc1, nb1) if nb1 < nb0 else (acc0, nb0)
+    for h, w in zip(his, mw):
+        if w:
+            acc |= (h - (1 << w)) << nbits                 # MSB implicit
+            nbits += w
+    return lo.tobytes() + acc.to_bytes((nbits + 7) // 8, 'little')
+
+
+def _unpack_states_v11(r: int, data: bytes, pos: int, wide: bool = False):
+    """Inverse of the v11 _pack_states; returns (states_u32,
+    bytes_consumed)."""
+    if pos + 2 * r > len(data):
+        raise ValueError('truncated container (state block)')
+    lo = np.frombuffer(data[pos:pos + 2 * r], np.uint16)
+    base = pos + 2 * r
+    scheme = _read_bits(data, base, 0, 1)
+    bits = 1
+    lnmax = 16 if wide else 15
+    if scheme:
+        lns, bits = _rice_unpack_bits(r, data, base, bits)
+        if lns.min() < 0 or lns.max() > lnmax:
+            raise ValueError('corrupt container (state descriptors)')
+        ln = [int(v) for v in lns]
+    else:
+        ln = []
+        for _ in range(r):
+            l = _read_bits(data, base, bits, 4)
+            bits += 4
+            if wide and l == 15:
+                l += _read_bits(data, base, bits, 1)
+                bits += 1
+            ln.append(l)
+    hi = np.empty(r, np.uint32)
+    for i, l in enumerate(ln):
+        if wide and l == 0:
+            hi[i] = 0
+            continue
+        w = l - 1 if wide else l
+        hi[i] = (1 << w) | _read_bits(data, base, bits, w)
+        bits += w
+    consumed = 2 * r + (bits + 7) // 8
+    if pos + consumed > len(data):
+        raise ValueError('truncated container (state block)')
+    states = (hi.astype(np.uint32) << np.uint32(16)) | lo.astype(np.uint32)
+    return states, consumed
 
 
 def _read_bits(data: bytes, base: int, bitoff: int, n: int) -> int:
@@ -628,9 +678,11 @@ def _read_bits(data: bytes, base: int, bitoff: int, n: int) -> int:
 
 def _unpack_states(r: int, data: bytes, pos: int, wide: bool = False,
                    v8wide: bool = False):
-    """Inverse of _pack_states; returns (states_u32, bytes_consumed).
-    v8wide parses the container-v8 flat 5-bit wide descriptor (v9 moved
-    to the 4-bit + escape scheme)."""
+    """Frozen v8/v9/v10 states parser (per-lane interleaved descriptor +
+    mantissa; v11 moved to a scheme-selected descriptor TABLE followed
+    by the mantissas — _unpack_states_v11). Returns (states_u32,
+    bytes_consumed). v8wide parses the container-v8 flat 5-bit wide
+    descriptor (v9 moved to the 4-bit + escape scheme)."""
     if pos + 2 * r > len(data):
         raise ValueError('truncated container (state block)')
     lo = np.frombuffer(data[pos:pos + 2 * r], np.uint16)
@@ -679,12 +731,14 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
                      final_states: np.ndarray, sym_crc: int = 0,
                      impl_id: int = IMPL_RING, prec: int = 0,
                      k=None) -> bytes:
-    """Container v9, 12 fixed header bytes (bit-packed, LSB-first):
-    magic(8) version(4) impl(3) tail(1) prec(2) rawesc(1) shapewide(1)
-    nstates(7) spare(1) shape(3x12, or 3x16 when shapewide for latent
-    dims >= 4096 — a 14-byte header) crc(32); then the packed states
-    block [then the k-table] and the 16-bit stream words (their count is
-    derived from the remaining length — no nwords field).
+    """Container v11, 11/12/14 fixed header bytes (bit-packed,
+    LSB-first): magic(8) version(4) impl(3) tail(1) prec(2) rawesc(1)
+    shapewide(1) nstates(7) shapenarrow(1) shape(3x12; 3x16 when
+    shapewide for latent dims >= 4096; 3x8 when every dim < 256)
+    crc(32); then the packed states block (_pack_states: raw lo words,
+    a scheme-selected hi-descriptor table, the hi mantissas) [then the
+    k-table] and the 16-bit stream words (their count is derived from
+    the remaining length — no nwords field).
 
     rawesc escapes to raw u32 states for the rare all-long-hi batch
     where entropy packing would cost more than raw.
@@ -692,11 +746,8 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
     k != None marks a TAIL-PACKED stream (tail header bit): the encoder
     seeded its lanes at x0=1 and k[lane] warmup symbols at each lane's
     decode tail must not pull renorm words (rans.scalar_encode). The
-    k-table is kmin (u16) + a kw-1 nibble + r kw-bit DELTAS (kw sized
-    by the spread max(k)-min(k), not the absolute magnitude — lane
-    warmups track the same content so the spread is ~2 bits narrower);
-    every k must be <= K_CAP — encoders fall back to x0=RANS_L
-    (k=None) otherwise."""
+    k-table is one flat/Rice table (_rice_pack_bits); every k must be
+    <= K_CAP — encoders fall back to x0=RANS_L (k=None) otherwise."""
     r = len(final_states)
     assert r < 128
     packed = _pack_states(final_states, wide=k is not None)
@@ -735,71 +786,114 @@ def serialize_stream(latent_shape, stream_words: np.ndarray,
     return buf.getvalue()
 
 
-def _pack_ktable(k: np.ndarray) -> bytes:
-    """v10 k-table (LSB-first bit stream): a varint anchor (4-bit
-    bit_length, then bit_length-1 mantissa bits with the MSB implicit;
-    length 0 encodes anchor 0), 1 scheme bit, 4 param bits, payload.
-    scheme 0 = flat: anchor = min(k), r deltas of kw = param+1 bits (the
-    v9 code behind a scheme bit — the worst-case escape). scheme 1 =
-    Rice: anchor = median(k), per lane zigzag(k - anchor) as q one-bits
-    + a zero + param remainder bits. The lane warmups track the same
-    content (bell-shaped around the median, thin tails — PERF.md), so
-    Rice with an optimal per-image parameter beats the flat span width
-    (which a single outlier lane sets for everyone) by ~1.5-2.5
-    bits/lane; the cheaper scheme is chosen exactly, so v10 never loses
-    to v9."""
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+
+
+def _best_rice_param(z: np.ndarray) -> Tuple[int, int]:
+    """(m, payload_bits) minimizing the Rice payload for zigzags z."""
+    best_m, best = 0, None
+    for m in range(16):
+        c = int(np.sum(z >> m)) + len(z) * (1 + m)
+        if best is None or c < best:
+            best_m, best = m, c
+    return best_m, best
+
+
+def _rice_pack_bits(k: np.ndarray, acc: int, nb: int, extended: bool = True):
+    """Exact-min flat/Rice code for a small non-negative integer array,
+    appended to an (acc, nb) LSB-first bit accumulator. Layout: a varint
+    anchor (5-bit bit_length, then bit_length-1 mantissa bits with the
+    MSB implicit; length 0 encodes anchor 0), a scheme field, 4 param
+    bits, payload. Schemes (the cheapest TOTAL cost, anchor included,
+    is chosen exactly):
+      0   = flat: anchor = min(k), len(k) deltas of kw = param+1 bits
+            (the v9 code behind a scheme bit — the worst-case escape);
+      10  = Rice-median: anchor = median(k), per entry
+            zigzag(k - anchor) as q one-bits + a zero + param remainder
+            bits;
+      11  = Rice-delta (extended=True only, container v11+): anchor =
+            k[0], len(k)-1 zigzag lane-adjacent deltas k[i] - k[i-1]
+            through the same Rice code — neighboring rANS lanes track
+            correlated content (measured delta std ~0.75x the median-
+            residual std on real streams, probe30), and the first
+            lane's payload folds into the anchor.
+    With extended=False (the frozen container-v10 k-table format) the
+    scheme field is the 1-bit flat/Rice-median selector. Used by the
+    v10+ k-table and the v11 state-descriptor table (both arrays
+    cluster around their median with thin tails — PERF.md)."""
     r = len(k)
+    rice_tag = 2 if extended else 1          # scheme-field bits for Rice
+
+    def anchor_bits(a):
+        return 5 + max(a.bit_length() - 1, 0)
+
     kmin = int(k.min())
     kw = max(1, int(k.max() - kmin).bit_length())
-    flat_bits = 5 + r * kw
-    kmed = int(np.median(k))
-    res = k - kmed
-    z = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
-    rice_m, rice_bits = 0, None
-    for m in range(16):
-        c = int(np.sum(z >> m)) + r * (1 + m)
-        if rice_bits is None or c < rice_bits:
-            rice_m, rice_bits = m, c
-    rice_bits += 5
-    use_rice = rice_bits < flat_bits
-    anchor = kmed if use_rice else kmin
+    z_med = _zigzag(k - int(np.median(k)))
+    med_m, med_payload = _best_rice_param(z_med)
+    cands = [
+        (anchor_bits(kmin) + 1 + 4 + r * kw, 0, kmin, kw - 1, None),
+        (anchor_bits(int(np.median(k))) + rice_tag + 4 + med_payload,
+         1, int(np.median(k)), med_m, z_med),
+    ]
+    if extended and r > 1:
+        z_d = _zigzag(np.diff(k.astype(np.int64)))
+        d_m, d_payload = _best_rice_param(z_d)
+        cands.append((anchor_bits(int(k[0])) + rice_tag + 4 + d_payload,
+                      2, int(k[0]), d_m, z_d))
+    _, scheme, anchor, param, z = min(cands, key=lambda c: c[0])
     ln = anchor.bit_length()
     assert ln <= 16
-    acc, nb = ln, 5                  # varint anchor: 5-bit length 0..16
+    acc |= ln << nb                  # varint anchor: 5-bit length 0..16
+    nb += 5
     if ln:
         acc |= (anchor - (1 << (ln - 1))) << nb      # MSB implicit
         nb += ln - 1
-    if use_rice:
-        acc |= (1 | (rice_m << 1)) << nb
-        nb += 5
+    if scheme == 0:
+        acc |= 0 << nb                               # flat
+        nb += 1
+        acc |= param << nb
+        nb += 4
+        for kv in k:
+            acc |= (int(kv) - anchor) << nb
+            nb += param + 1
+    else:
+        acc |= 1 << nb                               # Rice
+        nb += 1
+        if extended:
+            acc |= (scheme - 1) << nb                # 0 median / 1 delta
+            nb += 1
+        acc |= param << nb
+        nb += 4
         for zv in z:
-            q = int(zv) >> rice_m
+            q = int(zv) >> param
             acc |= ((1 << q) - 1) << nb              # q ones + a zero
             nb += q + 1
-            acc |= (int(zv) & ((1 << rice_m) - 1)) << nb
-            nb += rice_m
-    else:
-        acc |= ((kw - 1) << 1) << nb
-        nb += 5
-        for kv in k:
-            acc |= (int(kv) - kmin) << nb
-            nb += kw
-    return acc.to_bytes((nb + 7) // 8, 'little')
+            acc |= (int(zv) & ((1 << param) - 1)) << nb
+            nb += param
+    return acc, nb
 
 
-def _unpack_ktable(r: int, data: bytes, pos: int):
-    """Inverse of _pack_ktable; returns (k_int32, bytes_consumed)."""
-    ln = _read_bits(data, pos, 0, 5)
-    bits = 5
+def _rice_unpack_bits(r: int, data: bytes, pos: int, bits: int,
+                      extended: bool = True):
+    """Inverse of _rice_pack_bits; returns (values_int32, bit_offset
+    after the table). Raises cleanly on corrupt input (fuzz contract)."""
+    ln = _read_bits(data, pos, bits, 5)
+    bits += 5
     if ln > 16:
-        raise ValueError('corrupt k-table (anchor length)')
+        raise ValueError('corrupt rice table (anchor length)')
     anchor = 0
     if ln:
         anchor = (1 << (ln - 1)) | _read_bits(data, pos, bits, ln - 1)
         bits += ln - 1
     scheme = _read_bits(data, pos, bits, 1)
-    param = _read_bits(data, pos, bits + 1, 4)
-    bits += 5
+    bits += 1
+    if scheme and extended:
+        scheme += _read_bits(data, pos, bits, 1)     # 1 median / 2 delta
+        bits += 1
+    param = _read_bits(data, pos, bits, 4)
+    bits += 4
     k = np.empty(r, np.int32)
     if scheme == 0:
         kw = param + 1
@@ -808,17 +902,36 @@ def _unpack_ktable(r: int, data: bytes, pos: int):
             bits += kw
     else:
         qcap = 2 * K_CAP + 2                 # fuzz safety: bounded unary
-        for i in range(r):
+        if scheme == 2:                      # delta: k[0] = anchor
+            k[0] = anchor
+        for i in range(1 if scheme == 2 else 0, r):
             q = 0
             while _read_bits(data, pos, bits, 1):
                 q += 1
                 bits += 1
                 if q > qcap or pos + (bits >> 3) >= len(data):
-                    raise ValueError('corrupt k-table (unbounded unary)')
+                    raise ValueError('corrupt rice table (unbounded unary)')
             bits += 1
             z = (q << param) | _read_bits(data, pos, bits, param)
             bits += param
-            k[i] = anchor + ((z >> 1) if (z & 1) == 0 else -((z + 1) >> 1))
+            res = (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
+            k[i] = (k[i - 1] + res) if scheme == 2 else (anchor + res)
+    return k, bits
+
+
+def _pack_ktable(k: np.ndarray) -> bytes:
+    """v10+ k-table: one flat/Rice table (see _rice_pack_bits; the
+    Rice-delta scheme only appears inside v11+ containers)."""
+    acc, nb = _rice_pack_bits(k, 0, 0)
+    return acc.to_bytes((nb + 7) // 8, 'little')
+
+
+def _unpack_ktable(r: int, data: bytes, pos: int, extended: bool = True):
+    """Inverse of _pack_ktable; returns (k_int32, bytes_consumed).
+    extended=False parses the frozen container-v10 1-bit scheme field."""
+    k, bits = _rice_unpack_bits(r, data, pos, 0, extended=extended)
+    if k.min() < 0:
+        raise ValueError('corrupt k-table (negative warmup count)')
     return k, (bits + 7) // 8
 
 
@@ -862,9 +975,11 @@ def deserialize_stream(data: bytes):
     version = (data[1]) & 0xF
     if version == 8:
         return _deserialize_v8(data)
-    # v9 differs from v10 only in the k-table block (flat span-width
-    # deltas vs scheme-bit flat/Rice) — one parser, one branch below.
-    assert version in (9, VERSION), version
+    # v9/v10/v11 share the header layout — one parser, two version
+    # branches below: v9 keeps the flat span-width k-table, v9/v10 keep
+    # the per-lane interleaved state descriptors (v11 moved them to a
+    # scheme-selected descriptor table).
+    assert version in (9, 10, VERSION), version
     hdr = int.from_bytes(data[:14], 'little')
     tail_mode = bool((hdr >> 15) & 1)
     rawesc = bool((hdr >> 18) & 1)
@@ -881,6 +996,9 @@ def deserialize_stream(data: bytes):
             raise ValueError('truncated container (raw states)')
         states = np.frombuffer(data[pos:pos + 4 * r], np.uint32).copy()
         pos += 4 * r
+    elif version >= 11:
+        states, consumed = _unpack_states_v11(r, data, pos, wide=tail_mode)
+        pos += consumed
     else:
         states, consumed = _unpack_states(r, data, pos, wide=tail_mode)
         pos += consumed
@@ -895,7 +1013,8 @@ def deserialize_stream(data: bytes):
                 k[i] = kmin + _read_bits(data, pos, 4 + i * kw, kw)
             pos += (4 + r * kw + 7) // 8
         else:
-            k, consumed = _unpack_ktable(r, data, pos)
+            k, consumed = _unpack_ktable(r, data, pos,
+                                         extended=version >= 11)
             pos += consumed
     if pos > len(data):
         raise ValueError('truncated container (side info)')

@@ -10,7 +10,9 @@ queue full (the TF1 queue-runner pattern without TF).
 Dataset resolution (ref: inputpipeline.py:15-35): a spec may be
   - a known name resolved under $RECORDS_ROOT (directory of images),
   - a directory, a glob, a .pkl/.txt file of image paths,
-  - 'synthetic[:N]' — deterministic procedural images (tests / benches).
+  - 'synthetic[:N]' — deterministic procedural images (tests / benches),
+  - 'natural[:N[:HxW]]' — deterministic 1/f^2 natural-statistics images
+    (demo training runs / the committed R-D artifact; data/natural.py).
 """
 
 from __future__ import annotations
@@ -80,6 +82,30 @@ class SyntheticDataset(Dataset):
         img = (img - img.min()) / max(float(np.ptp(img)), 1e-6) * 255.0
         noise = rng.randn(h, w, 3) * 8.0
         return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+class NaturalDataset(Dataset):
+    """Deterministic 1/f^2 natural-statistics images (data/natural.py);
+    index-deterministic, no I/O. uint8 cache (~HW*3 bytes/image) bounded
+    by ``cache_max_mb``."""
+
+    def __init__(self, num_images: int = 64, hw: Tuple[int, int] = (320, 320),
+                 name: str = 'natural', cache_max_mb: int = 512):
+        self.paths = [f'natural://{i}' for i in range(num_images)]
+        self.name = name
+        self._hw = hw
+        self._cache: dict = {}
+        self._cache_max = max(
+            1, (cache_max_mb * 1024 * 1024) // (hw[0] * hw[1] * 3))
+
+    def load(self, idx: int) -> np.ndarray:
+        img = self._cache.get(idx)
+        if img is None:
+            from . import natural
+            img = natural.natural_image(idx, *self._hw)
+            if len(self._cache) < self._cache_max:
+                self._cache[idx] = img
+        return img
 
 
 def _scan_tfrecord_offsets(shard: str) -> np.ndarray:
@@ -273,6 +299,14 @@ def get_dataset(spec: str) -> Dataset:
     if spec.startswith('synthetic'):
         n = int(spec.split(':')[1]) if ':' in spec else 64
         return SyntheticDataset(num_images=n)
+    if spec.startswith('natural'):
+        parts = spec.split(':')
+        n = int(parts[1]) if len(parts) > 1 else 64
+        hw = (320, 320)
+        if len(parts) > 2:
+            h, w = parts[2].lower().split('x')
+            hw = (int(h), int(w))
+        return NaturalDataset(num_images=n, hw=hw)
     if spec in RecordsDataset.KNOWN:
         pattern, _ = RecordsDataset.KNOWN[spec]
         shards = sorted(glob_lib.glob(os.path.join(constants.RECORDS_ROOT, pattern)))

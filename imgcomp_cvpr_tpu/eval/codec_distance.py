@@ -30,6 +30,12 @@ CODECS = {
               'jp2k': 'out_jp2k_Kodak',
               'jp': 'out_jp_Kodak',
               'webp': 'out_webp_kodak'},
+    # Kodak-geometry natural-statistics stand-in set for this zero-egress
+    # environment (data/natural.py; tools/gen_natural_set.py regenerates
+    # it bit-identically) — the committed R-D artifact's evaluation set.
+    'natkodak24': {'jp2k': 'out_jp2k_natkodak24',
+                   'jp': 'out_jp_natkodak24',
+                   'webp': 'out_webp_natkodak24'},
 }
 
 

@@ -183,7 +183,7 @@ def test_container_state_packing_edges():
     for states in cases:
         r = len(states)
         packed = codec_lib._pack_states(states)
-        got, consumed = codec_lib._unpack_states(
+        got, consumed = codec_lib._unpack_states_v11(
             r, b'\x00' * 5 + packed + b'\xAB', 5)
         assert consumed == len(packed)
         np.testing.assert_array_equal(got, states)
@@ -549,8 +549,14 @@ def test_container_v10_ktable_and_narrow_shape():
     rng = np.random.RandomState(3)
     for trial in range(60):
         r = int(rng.choice([1, 16, 32, 64]))
-        style = trial % 6
-        if style == 0:
+        style = trial % 7
+        if style == 6:
+            # lane-correlated random walk: the v11 Rice-delta scheme's
+            # winning case (adjacent-lane deltas much tighter than the
+            # median residuals)
+            k = np.clip(800 + np.cumsum(rng.randint(-40, 41, size=r)),
+                        0, codec_lib.K_CAP).astype(np.int64)
+        elif style == 0:
             k = rng.randint(0, 3, size=r)
         elif style == 1:
             k = np.clip(rng.normal(800, 120, size=r), 0,
@@ -595,6 +601,237 @@ def test_container_v10_ktable_and_narrow_shape():
                 lo = np.frombuffer(b[hdr_len:hdr_len + 2 * r], np.uint16)
                 np.testing.assert_array_equal(
                     lo, (states & 0xFFFF).astype(np.uint16))
+
+
+def _serialize_v10(latent_shape, stream_words, final_states, sym_crc=0,
+                   impl_id=2, prec=0, k=None):
+    """Frozen copy of the container-v10 WRITER: v11's header with the
+    v9/v10 per-lane interleaved state descriptors (4-bit length +
+    MSB-implicit hi mantissa per lane; wide d=15 borrows a 16th-length
+    selector bit) that v11 replaced with a scheme-selected descriptor
+    TABLE, and the v10 k-table (1-bit flat/Rice-median scheme field —
+    v11 widened Rice to a 2-bit field to add the lane-delta scheme).
+    Kept verbatim so v10-era archives stay covered."""
+    import io as _io
+
+    def pack_ktable_v10(k):
+        k = np.asarray(k, np.int64)
+        r = len(k)
+        kmin = int(k.min())
+        kw = max(1, int(k.max() - kmin).bit_length())
+        flat_bits = 5 + r * kw
+        kmed = int(np.median(k))
+        res = k - kmed
+        z = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+        rice_m, rice_bits = 0, None
+        for m in range(16):
+            c = int(np.sum(z >> m)) + r * (1 + m)
+            if rice_bits is None or c < rice_bits:
+                rice_m, rice_bits = m, c
+        rice_bits += 5
+        use_rice = rice_bits < flat_bits
+        anchor = kmed if use_rice else kmin
+        ln = anchor.bit_length()
+        acc, nb = ln, 5
+        if ln:
+            acc |= (anchor - (1 << (ln - 1))) << nb
+            nb += ln - 1
+        if use_rice:
+            acc |= (1 | (rice_m << 1)) << nb
+            nb += 5
+            for zv in z:
+                q = int(zv) >> rice_m
+                acc |= ((1 << q) - 1) << nb
+                nb += q + 1
+                acc |= (int(zv) & ((1 << rice_m) - 1)) << nb
+                nb += rice_m
+        else:
+            acc |= ((kw - 1) << 1) << nb
+            nb += 5
+            for kv in k:
+                acc |= (int(kv) - kmin) << nb
+                nb += kw
+        return acc.to_bytes((nb + 7) // 8, 'little')
+
+    def pack_states_v10(final_states, wide=False):
+        st = np.asarray(final_states, np.uint64)
+        lo = (st & np.uint64(0xFFFF)).astype(np.uint16)
+        hi = (st >> np.uint64(16)).astype(np.uint32)
+        acc, nbits = 0, 0
+        for h in hi:
+            h = int(h)
+            if wide:
+                ln = h.bit_length()
+                if ln < 15:
+                    acc |= ln << nbits
+                    nbits += 4
+                else:
+                    acc |= 15 << nbits
+                    acc |= (ln - 15) << (nbits + 4)
+                    nbits += 5
+                if ln:
+                    acc |= (h - (1 << (ln - 1))) << nbits
+                    nbits += ln - 1
+            else:
+                ln = h.bit_length() - 1
+                acc |= ln << nbits
+                nbits += 4
+                acc |= (h - (1 << ln)) << nbits
+                nbits += ln
+        return lo.tobytes() + acc.to_bytes((nbits + 7) // 8, 'little')
+
+    r = len(final_states)
+    packed = pack_states_v10(final_states, wide=k is not None)
+    rawesc = len(packed) > 4 * r
+    if rawesc:
+        packed = np.asarray(final_states, np.uint32).tobytes()
+    shape = tuple(int(v) for v in latent_shape)
+    shapewide = any(v >= (1 << 12) for v in shape)
+    shapenarrow = all(v < (1 << 8) for v in shape)
+    hdr = int.from_bytes(codec_lib.MAGIC, 'little')
+    hdr |= 10 << 8
+    hdr |= (impl_id & 0x7) << 12
+    hdr |= (1 if k is not None else 0) << 15
+    hdr |= (prec & 0x3) << 16
+    hdr |= (1 if rawesc else 0) << 18
+    hdr |= (1 if shapewide else 0) << 19
+    hdr |= r << 20
+    hdr |= (1 if shapenarrow else 0) << 27
+    pos = 28
+    sw = 16 if shapewide else (8 if shapenarrow else 12)
+    for v in shape:
+        hdr |= v << pos
+        pos += sw
+    hdr |= (sym_crc & 0xFFFFFFFF) << pos
+    pos += 32
+    buf = _io.BytesIO()
+    buf.write(hdr.to_bytes((pos + 7) // 8, 'little'))
+    buf.write(packed)
+    if k is not None:
+        buf.write(pack_ktable_v10(k))
+    buf.write(np.asarray(stream_words, np.uint16).tobytes())
+    return buf.getvalue()
+
+
+# One v10 container captured as literal bytes (generated by the frozen
+# writer above): shape (4,6,8) (narrow, 11-byte header), impl 3, prec 1,
+# crc 0xDEADBEEF, states [2^16, 5, 70000], k [3, 0, 12],
+# words [1, 65535, 258].
+_V10_PINNED_HEX = 'a7ba31486080f0eedbea0d0000050070110101c00c300100ffff0201'
+_V10_PINNED = bytes.fromhex(_V10_PINNED_HEX)
+
+
+def test_container_v10_parse_pinned_bytes():
+    """v10-era archives must keep parsing byte-for-byte (VERSION is now
+    11; deserialize_stream branches on the version nibble at the states
+    block — v11 moved the hi descriptors into a scheme-selected table)."""
+    shape, words, states, crc, k = codec_lib.deserialize_stream(_V10_PINNED)
+    assert shape == (4, 6, 8)
+    assert crc == 0xDEADBEEF
+    np.testing.assert_array_equal(states,
+                                  np.asarray([1 << 16, 5, 70000], np.uint32))
+    np.testing.assert_array_equal(k, np.asarray([3, 0, 12], np.int32))
+    np.testing.assert_array_equal(words,
+                                  np.asarray([1, 65535, 258], np.uint32))
+    assert codec_lib.stream_impl_id(_V10_PINNED) == 3
+    assert codec_lib.stream_prec(_V10_PINNED) == 1
+    regen = _serialize_v10((4, 6, 8), words, states, sym_crc=0xDEADBEEF,
+                           impl_id=3, prec=1, k=k)
+    assert regen == _V10_PINNED
+
+
+def test_container_v10_streams_decode(tiny_pc_setup, monkeypatch):
+    """End-to-end v10 back-compat: streams the v10-era encoder would
+    have produced must decode bit-exactly through the current codec,
+    legacy AND tail-packed, including mixed v10+v11 batches."""
+    cfg, pc, params, centers, latent = tiny_pc_setup
+    codec = codec_lib.LatentCodec(pc, cfg)
+    rng = np.random.RandomState(23)
+    symbols = rng.randint(0, 6, size=latent)
+    impl_id = codec_lib.IMPL_IDS[codec.impl]
+
+    res_leg = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_leg.bitstream)
+    assert k is None
+    v10_leg = _serialize_v10(shape, words, states, sym_crc=crc,
+                             impl_id=impl_id)
+    np.testing.assert_array_equal(
+        codec.decode(params, v10_leg, centers), symbols)
+
+    monkeypatch.setattr(codec_lib, 'TAIL_MIN_LANE_SYMBOLS', 0)
+    res_tail = codec.encode(params, symbols, centers)
+    shape, words, states, crc, k = codec_lib.deserialize_stream(
+        res_tail.bitstream)
+    assert k is not None
+    v10_tail = _serialize_v10(shape, words, states, sym_crc=crc,
+                              impl_id=impl_id, k=k)
+    np.testing.assert_array_equal(
+        codec.decode(params, v10_tail, centers), symbols)
+    mixed = codec.decode_batch(
+        params, [v10_tail, res_leg.bitstream, res_tail.bitstream], centers)
+    for got in mixed:
+        np.testing.assert_array_equal(got, symbols)
+
+
+def test_container_v11_state_descriptor_table():
+    """v11 states block: the hi bit-length descriptors ride a
+    scheme-selected flat/Rice table. Roundtrip over adversarial state
+    distributions in BOTH tail (wide, hi=0 legal) and classic modes, and
+    never exceed the v10 per-lane descriptor cost by more than the
+    selector bit; on concentrated distributions (real streams: states
+    near 2^32) v11 must WIN vs v10's ~4.1-bit descriptors."""
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        r = int(rng.choice([1, 16, 32, 64]))
+        style = trial % 5
+        if style == 0:                 # real-stream-like: states near 2^32
+            st = rng.randint(1 << 31, 1 << 32, size=r)
+        elif style == 1:               # full range (classic-legal: >= 2^16)
+            st = rng.randint(1 << 16, 1 << 32, size=r)
+        elif style == 2:               # wide-only: sub-2^16 lanes (hi = 0)
+            st = rng.randint(1, 1 << 16, size=r)
+        elif style == 3:               # mixed magnitudes
+            st = np.concatenate([rng.randint(1, 1 << 18, size=(r + 1) // 2),
+                                 rng.randint(1 << 30, 1 << 32,
+                                             size=r // 2)])[:r]
+        else:                          # all-identical
+            st = np.full(r, rng.randint(1 << 16, 1 << 32))
+        st = st.astype(np.uint32)
+        wide_only = (st < (1 << 16)).any()
+        for wide in ([True] if wide_only else [True, False]):
+            packed = codec_lib._pack_states(st, wide=wide)
+            got, consumed = codec_lib._unpack_states_v11(
+                r, b'\x00' * 3 + packed, 3, wide=wide)
+            assert consumed == len(packed)
+            np.testing.assert_array_equal(got, st)
+        # container roundtrip through the real writer (tail mode when any
+        # lane is sub-2^16 — classic streams cannot produce those)
+        k = np.arange(r) * 3 if wide_only else None   # any valid k-table
+        words = rng.randint(0, 1 << 16, size=7).astype(np.uint32)
+        blob = codec_lib.serialize_stream((4, 6, 8), words, st, sym_crc=9,
+                                          impl_id=2, k=k)
+        _, w2, st2, crc, k2 = codec_lib.deserialize_stream(blob)
+        np.testing.assert_array_equal(st2, st)
+        np.testing.assert_array_equal(w2, words)
+        if k is not None:
+            np.testing.assert_array_equal(k2, k)
+        # size: never more than the v10 writer + 1 selector bit (byte
+        # rounding can add one more byte)
+        v10 = _serialize_v10((4, 6, 8), words, st, sym_crc=9, impl_id=2,
+                             k=k)
+        assert len(blob) <= len(v10) + 1
+    # a clustered case must actually WIN: 64 states with hi bit-lengths
+    # in {12, 13} — v10 spends 4 descriptor bits/lane, v11's Rice table
+    # ~1.5 (all-ln-16 states escape to rawesc in both versions, and
+    # log-uniform real states have ~uniform descriptors where scheme 0
+    # keeps v11 within the selector bit of v10 — tested above)
+    st = rng.randint(1 << 27, 1 << 29, size=64).astype(np.uint32)
+    v11b = codec_lib.serialize_stream((4, 6, 8), np.zeros(0, np.uint32),
+                                      st, k=np.zeros(64, np.int64))
+    v10b = _serialize_v10((4, 6, 8), np.zeros(0, np.uint32), st,
+                          k=np.zeros(64, np.int64))
+    assert len(v11b) <= len(v10b) - 12  # >= ~100 bits back at R=64
 
 
 # ---------------- container fuzzing ----------------

@@ -94,6 +94,40 @@ def test_synthetic_pipeline_batches():
     assert not np.array_equal(b1, b2)
 
 
+def test_natural_pipeline_and_genset(tmp_path):
+    """'natural[:N[:HxW]]' spec: deterministic 1/f^2 images, pipeline
+    batches, and the PNG-set generator round-trips bit-identically (the
+    R-D artifact contract: regeneration replaces committing PNGs)."""
+    from PIL import Image
+
+    from imgcomp_cvpr_tpu.data import natural
+    from imgcomp_cvpr_tpu.tools import gen_natural_set
+
+    ds = pipeline.get_dataset('natural:6:64x96')
+    assert ds.num_images == 6
+    img = ds.load(2)
+    assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img, ds.load(2))          # cached
+    np.testing.assert_array_equal(img, natural.natural_image(2, 64, 96))
+    assert not np.array_equal(img, ds.load(3))
+    assert img.std() > 10                                   # real content
+    ip = pipeline.InputPipeline(ds, crop_size=(32, 32), batch_size=4,
+                                num_preprocess_threads=2,
+                                num_crops_per_img=2)
+    b1 = next(iter(ip))
+    ip.stop()
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.uint8
+
+    out = tmp_path / 'natset'
+    gen_natural_set.main([str(out), '--n', '2', '--hw', '64x96',
+                          '--offset', '7'])
+    files = sorted(out.iterdir())
+    assert [f.name for f in files] == ['nat00007.png', 'nat00008.png']
+    with Image.open(files[0]) as im:
+        np.testing.assert_array_equal(np.asarray(im),
+                                      natural.natural_image(7, 64, 96))
+
+
 def test_dataset_from_dir(tmp_path):
     from PIL import Image
     for i in range(3):
